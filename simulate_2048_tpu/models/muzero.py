@@ -1,0 +1,140 @@
+"""The six Stochastic MuZero networks.
+
+Same factorization as the paper and the reference
+(``reinforce/neural/models.py``):
+
+- ``Representation``       h:  observation → hidden state
+- ``Prediction``           f:  hidden → (policy logits, value)
+- ``AfterstateDynamics``   φ:  (hidden, action one-hot) → afterstate
+- ``AfterstatePrediction`` ψ:  afterstate → (Q value, chance logits)
+- ``Dynamics``             g:  (afterstate, chance one-hot) → (hidden, reward)
+- ``Encoder``              e:  observation → one-hot chance code (VQ-VAE style
+                               straight-through)
+
+All trunks share :class:`~simulate_2048_tpu.models.blocks.TowerWithHead`;
+heads emit float32 regardless of the compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from simulate_2048_tpu.models.blocks import TowerWithHead
+
+Array = jax.Array
+Dtype = Any
+
+DEFAULT_HIDDEN = 256
+DEFAULT_BLOCKS = 10
+DEFAULT_CODEBOOK = 32
+NUM_ACTIONS = 4
+
+
+class Representation(nn.Module):
+    """h: observation → hidden state (``models.py:105-149``)."""
+
+    hidden_size: int = DEFAULT_HIDDEN
+    num_blocks: int = DEFAULT_BLOCKS
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, observation: Array) -> Array:
+        x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(observation)
+        return nn.Dense(self.hidden_size, dtype=jnp.float32, name="hidden_state")(x)
+
+
+class Prediction(nn.Module):
+    """f: hidden → (policy logits, value) (``models.py:152-205``)."""
+
+    action_size: int = NUM_ACTIONS
+    hidden_size: int = DEFAULT_HIDDEN
+    num_blocks: int = DEFAULT_BLOCKS
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, state: Array) -> tuple[Array, Array]:
+        x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(state)
+        policy_logits = nn.Dense(self.action_size, dtype=jnp.float32, name="policy_logits")(x)
+        value = nn.Dense(1, dtype=jnp.float32, name="value")(x)
+        return policy_logits, jnp.squeeze(value, axis=-1)
+
+
+class AfterstateDynamics(nn.Module):
+    """φ: (hidden, action one-hot) → afterstate (``models.py:208-260``).
+
+    Inputs fuse by projected addition, as in the reference (``:248-250``).
+    """
+
+    hidden_size: int = DEFAULT_HIDDEN
+    action_size: int = NUM_ACTIONS
+    num_blocks: int = DEFAULT_BLOCKS
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, state: Array, action: Array) -> Array:
+        fused = nn.Dense(self.hidden_size, dtype=self.compute_dtype)(state) + nn.Dense(
+            self.hidden_size, dtype=self.compute_dtype
+        )(action)
+        x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(fused)
+        return nn.Dense(self.hidden_size, dtype=jnp.float32, name="afterstate")(x)
+
+
+class AfterstatePrediction(nn.Module):
+    """ψ: afterstate → (Q value, chance logits) (``models.py:263-317``)."""
+
+    codebook_size: int = DEFAULT_CODEBOOK
+    hidden_size: int = DEFAULT_HIDDEN
+    num_blocks: int = DEFAULT_BLOCKS
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, afterstate: Array) -> tuple[Array, Array]:
+        x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(afterstate)
+        q_value = nn.Dense(1, dtype=jnp.float32, name="q_value")(x)
+        chance_logits = nn.Dense(self.codebook_size, dtype=jnp.float32, name="chance_logits")(x)
+        return jnp.squeeze(q_value, axis=-1), chance_logits
+
+
+class Dynamics(nn.Module):
+    """g: (afterstate, chance one-hot) → (next hidden, reward) (``models.py:320-378``)."""
+
+    hidden_size: int = DEFAULT_HIDDEN
+    codebook_size: int = DEFAULT_CODEBOOK
+    num_blocks: int = DEFAULT_BLOCKS
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, afterstate: Array, chance_code: Array) -> tuple[Array, Array]:
+        fused = nn.Dense(self.hidden_size, dtype=self.compute_dtype)(afterstate) + nn.Dense(
+            self.hidden_size, dtype=self.compute_dtype
+        )(chance_code)
+        x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(fused)
+        next_state = nn.Dense(self.hidden_size, dtype=jnp.float32, name="next_state")(x)
+        reward = nn.Dense(1, dtype=jnp.float32, name="reward")(x)
+        return next_state, jnp.squeeze(reward, axis=-1)
+
+
+class Encoder(nn.Module):
+    """e: observation → one-hot chance code (``models.py:381-443``).
+
+    Deterministic mode: straight-through argmax (forward = one-hot, gradient
+    = identity on logits). Non-deterministic: softmax relaxation.
+    """
+
+    codebook_size: int = DEFAULT_CODEBOOK
+    hidden_size: int = DEFAULT_HIDDEN
+    num_blocks: int = DEFAULT_BLOCKS
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, observation: Array, deterministic: bool = True) -> Array:
+        x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(observation)
+        logits = nn.Dense(self.codebook_size, dtype=jnp.float32, name="chance_logits")(x)
+        if deterministic:
+            one_hot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), self.codebook_size)
+            return logits - jax.lax.stop_gradient(logits) + jax.lax.stop_gradient(one_hot)
+        return jax.nn.softmax(logits)

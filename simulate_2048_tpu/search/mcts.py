@@ -1,0 +1,268 @@
+"""Batched stochastic MuZero MCTS under jit.
+
+From-scratch replacement for the reference's dependency on
+``mctx.stochastic_muzero_policy`` (``reinforce/mcts/stochastic_mctx.py:218-301``
+— the repo only supplies network callbacks; the tree lives in mctx). Here the
+whole search is in-repo: array tree (``search/tree.py``), PUCT selection at
+decision nodes, prior-proportional deterministic selection at chance nodes,
+root Dirichlet exploration noise, and value backup along the
+decision/chance-interleaved path — one ``lax.fori_loop`` over simulations,
+``lax.while_loop``s for traversal/backup, vmapped over the batch so every
+network call runs as one batched matmul on the MXU.
+
+Model contract (the five callbacks of ``stochastic_mctx.py:93-215``):
+- root:       h(obs) → hidden;  f(hidden) → (action logits, value)
+- decision:   φ(hidden, a) → afterstate;  ψ(afterstate) → (Q, chance logits)
+- chance:     g(afterstate, c) → (hidden', reward);  f(hidden') → (logits, v)
+
+Per expansion both transitions are evaluated and the right one selected —
+the same branchless trade mctx makes; batch elements expand different node
+types in lockstep.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from simulate_2048_tpu.models.network import NetworkApplyFns, NetworkParams
+from simulate_2048_tpu.search import tree as tree_lib
+from simulate_2048_tpu.search.tree import NEG_INF, ROOT, UNVISITED, Tree
+
+Array = jax.Array
+
+
+class SearchConfig(NamedTuple):
+    """Static search hyperparameters (defaults = paper Appendix C, as in
+    ``reinforce/training/config.py:31-37``)."""
+
+    num_simulations: int = 100
+    num_actions: int = 4
+    codebook_size: int = 32
+    discount: float = 0.999
+    dirichlet_alpha: float = 0.25
+    dirichlet_fraction: float = 0.1
+    pb_c_init: float = 1.25
+    pb_c_base: float = 19652.0
+
+
+class PolicyOutput(NamedTuple):
+    """Search result (counterpart of mctx.PolicyOutput as consumed by
+    ``reinforce/mcts/policy.py``)."""
+
+    action_weights: Array  # (…, A) visit distribution over root actions
+    search_value: Array  # (…,) backed-up root value
+    visit_counts: Array  # (…, A) raw root visit counts
+    qvalues: Array  # (…, A) root Q values
+
+
+def _select_child(tree: Tree, node: Array, cfg: SearchConfig) -> Array:
+    """Pick the edge to follow from ``node``.
+
+    Decision nodes: PUCT with min-max-normalized Q
+    (pb_c = pb_c_init + log((N + pb_c_base + 1)/pb_c_base)).
+    Chance nodes: argmax p(c) / (1 + N(c)) — deterministic visit allocation
+    proportional to the predicted chance distribution (the jit-friendly
+    stand-in for sampling c ~ σ used by mctx's stochastic policy).
+    """
+    k = tree.prior_logits.shape[-1]
+    prior = jax.nn.softmax(tree.prior_logits[node])  # padded slots → 0
+    child_visits = tree_lib.children_visits(tree, node)
+    is_dec = tree.is_decision[node]
+
+    # PUCT score (decision nodes)
+    parent_visits = tree.node_visit[node]
+    qt = tree_lib.qtransform_by_parent_and_siblings(tree, node)
+    pb_c = cfg.pb_c_init + jnp.log((parent_visits + cfg.pb_c_base + 1.0) / cfg.pb_c_base)
+    puct = qt + pb_c * prior * jnp.sqrt(jnp.maximum(parent_visits, 1)) / (1.0 + child_visits)
+
+    # Chance score
+    chance = prior / (1.0 + child_visits)
+
+    score = jnp.where(is_dec, puct, chance)
+    width = jnp.where(is_dec, cfg.num_actions, cfg.codebook_size)
+    valid = jnp.arange(k) < width
+    return jnp.argmax(jnp.where(valid, score, NEG_INF)).astype(jnp.int32)
+
+
+def _traverse(tree: Tree, cfg: SearchConfig) -> tuple[Array, Array]:
+    """Walk from the root until an unexpanded edge; returns (parent, edge)."""
+
+    def cond(state):
+        _, _, next_node = state
+        return next_node != UNVISITED
+
+    def body(state):
+        _, _, node = state
+        action = _select_child(tree, node, cfg)
+        return node, action, tree.children_index[node, action]
+
+    action0 = _select_child(tree, ROOT, cfg)
+    state = (ROOT, action0, tree.children_index[ROOT, action0])
+    parent, action, _ = jax.lax.while_loop(cond, body, state)
+    return parent, action
+
+
+def _backup(tree: Tree, leaf: Array, leaf_value: Array) -> Tree:
+    """Propagate ``leaf_value`` from ``leaf`` to the root, updating the
+    running-mean value and visit count of every node on the path."""
+
+    def cond(state):
+        idx, _, _ = state
+        return idx != UNVISITED
+
+    def body(state):
+        idx, v, tree = state
+        visit = tree.node_visit[idx]
+        value = tree.node_value[idx]
+        tree = tree._replace(
+            node_value=tree.node_value.at[idx].set(
+                (value * visit + v) / (visit + 1.0)
+            ),
+            node_visit=tree.node_visit.at[idx].add(1),
+        )
+        parent = tree.parent_index[idx]
+        edge = tree.action_from_parent[idx]
+        safe_p, safe_e = jnp.maximum(parent, 0), jnp.maximum(edge, 0)
+        v = tree.children_reward[safe_p, safe_e] + tree.children_discount[safe_p, safe_e] * v
+        return parent, v, tree
+
+    _, _, tree = jax.lax.while_loop(cond, body, (leaf, leaf_value, tree))
+    return tree
+
+
+def _expand_and_backup(
+    tree: Tree,
+    new_index: Array,
+    params: NetworkParams,
+    apply_fns: NetworkApplyFns,
+    cfg: SearchConfig,
+) -> Tree:
+    """One simulation's expansion: evaluate both transition types at the
+    selected frontier edge, install the correct child, back up its value."""
+    parent, edge = _traverse(tree, cfg)
+    parent_emb = tree.embedding[parent]
+    parent_is_dec = tree.is_decision[parent]
+    k = tree.prior_logits.shape[-1]
+
+    # Decision parent → chance child: φ then ψ (``stochastic_mctx.py:119-165``).
+    a_onehot = jax.nn.one_hot(jnp.minimum(edge, cfg.num_actions - 1), cfg.num_actions)
+    afterstate = apply_fns.afterstate_dynamics(params.afterstate_dynamics, parent_emb, a_onehot)
+    q_value, chance_logits = apply_fns.afterstate_prediction(params.afterstate_prediction, afterstate)
+
+    # Chance parent → decision child: g then f (``stochastic_mctx.py:167-215``).
+    c_onehot = jax.nn.one_hot(jnp.minimum(edge, cfg.codebook_size - 1), cfg.codebook_size)
+    hidden, reward = apply_fns.dynamics(params.dynamics, parent_emb, c_onehot)
+    action_logits, value = apply_fns.prediction(params.prediction, hidden)
+
+    def pad(logits: Array) -> Array:
+        return jnp.full((k,), NEG_INF).at[: logits.shape[-1]].set(logits)
+
+    embedding_new = jnp.where(parent_is_dec, afterstate, hidden)
+    prior_new = jnp.where(parent_is_dec, pad(chance_logits), pad(action_logits))
+    leaf_value = jnp.where(parent_is_dec, q_value, value)
+    edge_reward = jnp.where(parent_is_dec, 0.0, reward)
+    edge_discount = jnp.where(parent_is_dec, 1.0, cfg.discount)
+
+    tree = tree._replace(
+        embedding=tree.embedding.at[new_index].set(embedding_new),
+        is_decision=tree.is_decision.at[new_index].set(~parent_is_dec),
+        prior_logits=tree.prior_logits.at[new_index].set(prior_new),
+        children_index=tree.children_index.at[parent, edge].set(new_index),
+        children_reward=tree.children_reward.at[parent, edge].set(edge_reward),
+        children_discount=tree.children_discount.at[parent, edge].set(edge_discount),
+        parent_index=tree.parent_index.at[new_index].set(parent),
+        action_from_parent=tree.action_from_parent.at[new_index].set(edge),
+    )
+    return _backup(tree, new_index, leaf_value)
+
+
+def _search_single(
+    params: NetworkParams,
+    apply_fns: NetworkApplyFns,
+    observation: Array,
+    key: Array,
+    cfg: SearchConfig,
+    invalid_actions: Array | None,
+) -> PolicyOutput:
+    """One full search for one observation (vmap adds the batch dim)."""
+    hidden = apply_fns.representation(params.representation, observation)
+    root_logits, root_value = apply_fns.prediction(params.prediction, hidden)
+
+    # Root exploration noise: logits ← log((1-ρ)·π + ρ·Dir(α))
+    # (mctx's root noise scheme with the reference's ρ=0.1, α=0.25).
+    if cfg.dirichlet_fraction > 0.0:
+        noise = jax.random.dirichlet(key, jnp.full((cfg.num_actions,), cfg.dirichlet_alpha))
+        probs = jax.nn.softmax(root_logits)
+        root_logits = jnp.log(
+            (1.0 - cfg.dirichlet_fraction) * probs + cfg.dirichlet_fraction * noise + 1e-30
+        )
+    if invalid_actions is not None:
+        root_logits = jnp.where(invalid_actions, NEG_INF, root_logits)
+
+    width = max(cfg.num_actions, cfg.codebook_size)
+    tree = tree_lib.init_tree(
+        num_nodes=cfg.num_simulations + 1,
+        width=width,
+        hidden_size=hidden.shape[-1],
+        root_embedding=hidden,
+        root_prior_logits=root_logits,
+        root_value=root_value,
+    )
+
+    def sim_body(s, tree):
+        return _expand_and_backup(tree, s + 1, params, apply_fns, cfg)
+
+    tree = jax.lax.fori_loop(0, cfg.num_simulations, sim_body, tree)
+
+    a = cfg.num_actions
+    visit_counts = tree_lib.children_visits(tree, ROOT)[:a]
+    qvalues = tree_lib.children_qvalues(tree, ROOT)[:a]
+    total = jnp.sum(visit_counts)
+    action_weights = visit_counts.astype(jnp.float32) / jnp.maximum(total, 1)
+    return PolicyOutput(
+        action_weights=action_weights,
+        search_value=tree.node_value[ROOT],
+        visit_counts=visit_counts,
+        qvalues=qvalues,
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 4, 6))
+def run_mcts(
+    params: NetworkParams,
+    apply_fns: NetworkApplyFns,
+    observation: Array,
+    key: Array,
+    config: SearchConfig = SearchConfig(),
+    invalid_actions: Array | None = None,
+    batched: bool = False,
+) -> PolicyOutput:
+    """Run stochastic MuZero search.
+
+    ``observation``: (obs_dim,) or, with ``batched=True``, (B, obs_dim) with
+    ``key`` of shape (B, …) — each batch element gets its own noise key
+    (fixing the reference's ``keys[0]``-only quirk, ``stochastic_mctx.py:391``).
+    """
+    if batched:
+        return jax.vmap(
+            lambda o, k, inv: _search_single(params, apply_fns, o, k, config, inv)
+        )(observation, key, invalid_actions) if invalid_actions is not None else jax.vmap(
+            lambda o, k: _search_single(params, apply_fns, o, k, config, None)
+        )(observation, key)
+    return _search_single(params, apply_fns, observation, key, config, invalid_actions)
+
+
+def batched_run_mcts(
+    params: NetworkParams,
+    apply_fns: NetworkApplyFns,
+    observations: Array,
+    keys: Array,
+    config: SearchConfig = SearchConfig(),
+    invalid_actions: Array | None = None,
+) -> PolicyOutput:
+    """Batch-of-searches convenience wrapper (``stochastic_mctx.py:349-396``)."""
+    return run_mcts(params, apply_fns, observations, keys, config, invalid_actions, batched=True)

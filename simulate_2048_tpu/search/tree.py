@@ -1,0 +1,107 @@
+"""Fixed-size array tree for stochastic MCTS.
+
+The reference outsources the tree to DeepMind's mctx
+(``reinforce/mcts/stochastic_mctx.py:289-301``); this module is the from-
+scratch, in-repo equivalent: a struct-of-arrays tree with **interleaved
+decision and chance nodes**, fully static shapes, built to live inside one
+jitted program and vmap over a batch of independent searches.
+
+Layout (per search; a leading batch dim is added by vmap):
+
+- capacity ``N = num_simulations + 1`` — each simulation expands one node.
+- ``K = max(action_size, codebook_size)`` — one child-table width for both
+  node types; decision nodes use slots [0, A), chance nodes [0, C), the rest
+  are masked by -inf priors.
+- Edges decision→chance carry (reward 0, discount 1); edges chance→decision
+  carry (model reward, γ) — the afterstate formulation of the paper.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+UNVISITED = jnp.int32(-1)
+ROOT = jnp.int32(0)
+NEG_INF = -1e9
+
+
+class Tree(NamedTuple):
+    """Struct-of-arrays search tree (one search; vmap adds the batch dim)."""
+
+    embedding: Array  # (N, H) hidden state (decision) or afterstate (chance)
+    is_decision: Array  # (N,) bool
+    node_value: Array  # (N,) f32 running mean of backed-up values
+    node_visit: Array  # (N,) i32
+    prior_logits: Array  # (N, K) f32, padded with NEG_INF
+    children_index: Array  # (N, K) i32, UNVISITED where unexpanded
+    children_reward: Array  # (N, K) f32 edge rewards
+    children_discount: Array  # (N, K) f32 edge discounts
+    parent_index: Array  # (N,) i32
+    action_from_parent: Array  # (N,) i32
+
+    @property
+    def capacity(self) -> int:
+        return self.node_value.shape[-1]
+
+
+def init_tree(
+    num_nodes: int,
+    width: int,
+    hidden_size: int,
+    root_embedding: Array,
+    root_prior_logits: Array,
+    root_value: Array,
+) -> Tree:
+    """Allocate the tree and install the root as node 0 (decision node)."""
+    n, k = num_nodes, width
+    prior = jnp.full((n, k), NEG_INF, jnp.float32)
+    prior = prior.at[0, : root_prior_logits.shape[-1]].set(root_prior_logits)
+    return Tree(
+        embedding=jnp.zeros((n, hidden_size), root_embedding.dtype).at[0].set(root_embedding),
+        is_decision=jnp.zeros((n,), jnp.bool_).at[0].set(True),
+        node_value=jnp.zeros((n,), jnp.float32).at[0].set(root_value),
+        node_visit=jnp.zeros((n,), jnp.int32).at[0].set(1),
+        prior_logits=prior,
+        children_index=jnp.full((n, k), UNVISITED, jnp.int32),
+        children_reward=jnp.zeros((n, k), jnp.float32),
+        children_discount=jnp.zeros((n, k), jnp.float32),
+        parent_index=jnp.full((n,), UNVISITED, jnp.int32),
+        action_from_parent=jnp.full((n,), UNVISITED, jnp.int32),
+    )
+
+
+def children_qvalues(tree: Tree, node: Array, discount_pad: float = 0.0) -> Array:
+    """Q(node, ·) = r(edge) + discount(edge) · V(child); 0-visit edges get 0.
+
+    Caller decides how to complete unvisited entries (see qtransform).
+    """
+    child_idx = tree.children_index[node]
+    child_value = jnp.where(child_idx >= 0, tree.node_value[jnp.maximum(child_idx, 0)], 0.0)
+    return tree.children_reward[node] + tree.children_discount[node] * child_value
+
+
+def children_visits(tree: Tree, node: Array) -> Array:
+    """Per-edge visit counts = visits of the child nodes (0 if unexpanded)."""
+    child_idx = tree.children_index[node]
+    return jnp.where(child_idx >= 0, tree.node_visit[jnp.maximum(child_idx, 0)], 0)
+
+
+def qtransform_by_parent_and_siblings(tree: Tree, node: Array) -> Array:
+    """Min-max normalized completed Q values (mctx's default for MuZero).
+
+    Unvisited children take the parent's value; normalization bounds come
+    from {parent value} ∪ {visited children Q}, so scores are in [0, 1]
+    regardless of 2048's unbounded score scale.
+    """
+    q = children_qvalues(tree, node)
+    visits = children_visits(tree, node)
+    parent_value = tree.node_value[node]
+    completed = jnp.where(visits > 0, q, parent_value)
+    lo = jnp.minimum(jnp.min(completed), parent_value)
+    hi = jnp.maximum(jnp.max(completed), parent_value)
+    return (completed - lo) / jnp.maximum(hi - lo, 1e-8)
