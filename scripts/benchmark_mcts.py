@@ -1,0 +1,77 @@
+"""Batched MCTS benchmark — BASELINE.json config 3: stochastic search with
+chance nodes over a batch of boards, untrained networks.
+
+Reports searches/s and simulations/s (one simulation = one tree expansion =
+one φψ + gf network evaluation pair, batched across boards).
+
+Usage: ``python scripts/benchmark_mcts.py [--boards 256] [--sims 64] [--mode small]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--boards", type=int, default=256)
+    parser.add_argument("--sims", type=int, default=64)
+    parser.add_argument("--mode", choices=["tiny", "small", "full"], default="small")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent.parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from simulate_2048_tpu.env import env as envlib
+    from simulate_2048_tpu.models import create_network
+    from simulate_2048_tpu.search import SearchConfig, batched_run_mcts
+    from simulate_2048_tpu.training import default_config, small_config, tiny_config
+    from simulate_2048_tpu.utils.profiling import time_fn
+
+    cfg = {"tiny": tiny_config, "small": small_config, "full": default_config}[args.mode]()
+    print(f"devices={jax.devices()} boards={args.boards} sims={args.sims} "
+          f"hidden={cfg.hidden_size}x{cfg.num_residual_blocks}", file=sys.stderr)
+
+    network = create_network(
+        jax.random.PRNGKey(0),
+        hidden_size=cfg.hidden_size,
+        num_blocks=cfg.num_residual_blocks,
+        codebook_size=cfg.codebook_size,
+    )
+    search_cfg = SearchConfig(
+        num_simulations=args.sims,
+        codebook_size=cfg.codebook_size,
+        discount=cfg.discount,
+    )
+
+    state = envlib.reset_batch(0, args.boards)
+    obs = envlib.get_observation(state)
+    keys = jax.random.split(jax.random.PRNGKey(1), args.boards)
+
+    run = jax.jit(
+        lambda o, k: batched_run_mcts(network.params, network.apply_fns, o, k, search_cfg)
+    )
+    stats = time_fn(lambda: run(obs, keys).action_weights, warmup=1, reps=5)
+
+    searches_per_s = args.boards / (stats["best_ms"] / 1e3)
+    result = {
+        "boards": args.boards,
+        "num_simulations": args.sims,
+        "search_ms_per_batch": stats["best_ms"],
+        "compile_ms": stats["compile_plus_first_ms"],
+        "searches_per_s": searches_per_s,
+        "simulations_per_s": searches_per_s * args.sims,
+    }
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

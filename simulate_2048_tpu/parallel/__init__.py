@@ -1,0 +1,18 @@
+"""Device-mesh parallelism: sharding helpers, DP learner, multi-host runtime."""
+
+from simulate_2048_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_pytree_batch,
+)
+from simulate_2048_tpu.parallel.dp import make_dp_train_step, make_sharded_rollout
+
+__all__ = [
+    "batch_sharding",
+    "make_dp_train_step",
+    "make_mesh",
+    "make_sharded_rollout",
+    "replicated_sharding",
+    "shard_pytree_batch",
+]

@@ -1,0 +1,99 @@
+"""Data-parallel training and sharded self-play over a device mesh.
+
+Parameters and optimizer state are replicated; batches are sharded on the
+``data`` axis. Under ``jit`` with these shardings XLA partitions the program
+SPMD-style and inserts the gradient all-reduce (psum over ICI) automatically —
+the idiomatic JAX replacement for the NCCL/MPI plumbing a torch framework
+would hand-roll (the reference has neither — SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import optax
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from simulate_2048_tpu.models.network import NetworkApplyFns
+from simulate_2048_tpu.parallel.mesh import DATA_AXIS
+from simulate_2048_tpu.training.config import TrainConfig
+from simulate_2048_tpu.training.learner import TrainState, train_step
+
+
+def make_dp_train_step(
+    apply_fns: NetworkApplyFns,
+    config: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+) -> Callable:
+    """Jitted data-parallel train step.
+
+    in: state (replicated), batch + is_weights (batch-sharded).
+    out: state (replicated), loss (replicated), priorities (batch-sharded).
+    """
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+
+    def step(state: TrainState, batch, is_weights):
+        return train_step(state, apply_fns, batch, is_weights, config, optimizer)
+
+    batch_shardings = jax.tree.map(lambda _: shard, _batch_structure(config))
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_shardings, shard),
+        out_shardings=(repl, repl, shard),
+    )
+
+
+def _batch_structure(config: TrainConfig):
+    """A TrainingTargets-shaped pytree used only for sharding tree-mapping."""
+    from simulate_2048_tpu.training.losses import TrainingTargets
+
+    return TrainingTargets(
+        observations=0, actions=0, target_policies=0, target_values=0, target_rewards=0
+    )
+
+
+def make_sharded_rollout(mesh: Mesh, num_envs: int, num_steps: int) -> Callable:
+    """Random-rollout driver with the env batch sharded across the mesh.
+
+    Demonstrates actor-side scaling: each device owns ``num_envs / mesh size``
+    environments; there is no cross-device communication in the rollout at
+    all (the ideal actor sharding — BASELINE.json north star).
+    """
+    from simulate_2048_tpu.ops.rollout import random_rollout
+
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    @partial(jax.jit, out_shardings=repl)
+    def rollout(run_seed):
+        # Constrain env-state placement: the batch axis rides the mesh.
+        import jax.numpy as jnp
+
+        from simulate_2048_tpu.env import env as envlib
+        from simulate_2048_tpu.ops import board as ops
+        from simulate_2048_tpu.ops import rng as tfrng
+
+        state = envlib.reset_batch(run_seed, num_envs)
+        state = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, shard), state)
+
+        def body(carry, t):
+            state, steps = carry
+            bits0, _ = tfrng.threefry2x32(
+                (jnp.full((num_envs,), 0x2048_0003, jnp.uint32), state.game_seed),
+                (jnp.full((num_envs,), t, jnp.uint32), state.spawn_count),
+            )
+            actions = (bits0 % 4).astype(jnp.int32)
+            new_state, reward, done, _ = envlib.step_auto_reset(state, actions)
+            return (new_state, steps + num_envs), jnp.sum(reward)
+
+        (state, steps), rewards = jax.lax.scan(
+            body, (state, jnp.int32(0)), jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        return steps, jnp.sum(rewards), jnp.max(ops.max_tile(state.board))
+
+    return rollout

@@ -1,0 +1,55 @@
+"""Training CLI: ``python -m simulate_2048_tpu.train --mode tiny|small|full``.
+
+Counterpart of ``reinforce/train.py:22-90`` (init → fill buffer → train →
+final eval), plus a persistent JAX compilation cache so repeated runs skip
+recompiles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Train Stochastic MuZero on 2048 (TPU-native)")
+    parser.add_argument("--mode", choices=["tiny", "small", "full"], default="small")
+    parser.add_argument("--steps", type=int, default=None, help="override training steps")
+    parser.add_argument("--checkpoint-dir", default="checkpoints")
+    parser.add_argument("--log-dir", default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--no-eval", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from simulate_2048_tpu.training import Trainer, default_config, small_config, tiny_config
+
+    config = {"tiny": tiny_config, "small": small_config, "full": default_config}[args.mode]()
+    print(f"mode={args.mode} devices={jax.devices()}")
+
+    trainer = Trainer(
+        config,
+        checkpoint_dir=args.checkpoint_dir,
+        log_dir=args.log_dir,
+        seed=args.seed,
+    )
+    trainer.initialize()
+    trainer.fill_buffer()
+    trainer.train(args.steps)
+
+    if not args.no_eval:
+        stats = trainer.evaluate()
+        print("final evaluation:")
+        for key, value in stats.items():
+            print(f"  {key}: {value}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Orbax checkpointing with full train-state round-trip.
+
+Counterpart of the reference's ``CheckpointManager``
+(``reinforce/training/learner.py:330-485``) with its restore gap fixed: the
+reference drops the saved optimizer state and re-initializes Adam moments on
+resume (``learner.py:467-471``); here ``opt_state`` round-trips exactly, so
+resumed runs are bitwise-continuations.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from simulate_2048_tpu.models.network import NetworkParams
+from simulate_2048_tpu.training.learner import TrainState
+
+Array = jax.Array
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: save/restore {params, opt_state, step}."""
+
+    def __init__(self, checkpoint_dir: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(checkpoint_dir)
+        os.makedirs(self.directory, exist_ok=True)
+        self._manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, state: TrainState, step: int | None = None) -> None:
+        """Persist the full train state (``learner.py:370-393``)."""
+        step = int(state.step) if step is None else step
+        payload = {
+            "params": state.params._asdict(),
+            "opt_state": jax.tree.map(np.asarray, state.opt_state),
+            "step": step,
+        }
+        self._manager.save(step, args=ocp.args.StandardSave(payload))
+        self._manager.wait_until_finished()
+
+    def restore(self, template: TrainState, step: int | None = None) -> TrainState | None:
+        """Restore into the shapes/dtypes of ``template``; None if empty.
+
+        Unlike ``learner.py:418-479`` the optimizer state is restored, not
+        re-initialized.
+        """
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        template_payload = {
+            "params": template.params._asdict(),
+            "opt_state": template.opt_state,
+            "step": int(template.step),
+        }
+        restored = self._manager.restore(
+            step, args=ocp.args.StandardRestore(template_payload)
+        )
+        return TrainState(
+            params=NetworkParams(**restored["params"]),
+            opt_state=jax.tree.map(
+                lambda t, r: jax.numpy.asarray(r, dtype=t.dtype) if hasattr(t, "dtype") else r,
+                template.opt_state,
+                restored["opt_state"],
+            ),
+            step=jax.numpy.int32(restored["step"]),
+        )
+
+    def latest_step(self) -> int | None:
+        """Most recent saved step (``learner.py:481-485``)."""
+        return self._manager.latest_step()
+
+    def close(self) -> None:
+        self._manager.close()

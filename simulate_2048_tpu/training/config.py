@@ -1,0 +1,143 @@
+"""Training configuration.
+
+Hyperparameters mirror the Stochastic MuZero paper's Appendix C for 2048, as
+the reference does (``reinforce/training/config.py:11-179``); presets tiny/
+small/full match the reference's. TPU-specific knobs (compute dtype, env batch
+sizes, mesh axes) are new.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Immutable training configuration (``config.py:11-114``)."""
+
+    # Environment.
+    observation_dim: int = 16  # flattened 4x4 board
+    action_size: int = 4
+    codebook_size: int = 32
+
+    # Networks.
+    hidden_size: int = 256
+    num_residual_blocks: int = 10
+    use_bfloat16: bool = False  # compute dtype for residual towers
+
+    # MCTS.
+    num_simulations: int = 100
+    discount: float = 0.999
+    dirichlet_alpha: float = 0.25
+    dirichlet_fraction: float = 0.1
+    pb_c_init: float = 1.25
+    pb_c_base: float = 19652.0
+
+    # Temperature schedule [(step, temperature), …] (paper: greedy from 300k).
+    temperature_schedule: tuple[tuple[int, float], ...] = (
+        (0, 1.0),
+        (100_000, 0.5),
+        (200_000, 0.1),
+        (300_000, 0.0),
+    )
+
+    # Replay buffer.
+    replay_buffer_size: int = 125_000  # trajectories
+    min_buffer_size: int = 1_000
+    max_trajectory_length: int = 200
+
+    # Training.
+    batch_size: int = 1024
+    num_unroll_steps: int = 5
+    td_steps: int = 10
+    td_lambda: float = 0.5
+
+    # Prioritized replay (paper: α=β=1).
+    priority_alpha: float = 1.0
+    priority_beta: float = 1.0
+
+    # Optimization.
+    learning_rate: float = 3e-4
+    weight_decay: float = 0.0
+    max_grad_norm: float = 5.0
+    warmup_steps: int = 1_000
+
+    # Schedule.
+    training_steps: int = 20_000_000
+    checkpoint_interval: int = 1_000
+    log_interval: int = 100
+    eval_interval: int = 1_000
+    eval_games: int = 10
+
+    # Self-play.
+    num_parallel_games: int = 8
+    generation_interval: int = 100
+
+    # Value scaling h(x) = sign(x)(√(|x|+1) − 1) + εx.
+    value_epsilon: float = 0.001
+
+    # Loss weights (``config.py:87-91``).
+    policy_loss_weight: float = 1.0
+    value_loss_weight: float = 0.25
+    reward_loss_weight: float = 1.0
+    chance_loss_weight: float = 1.0
+    commitment_loss_weight: float = 0.25
+
+    # Chance-target mode: "encoder" wires the VQ-VAE encoder of obs_{t+1} as
+    # the chance target (the paper's design); "placeholder" reproduces the
+    # reference's constant index-0 target (``losses.py:296-298`` — its
+    # declared-but-unwired training path).
+    chance_target_mode: str = "encoder"
+
+    seed: int = 42
+
+    def get_temperature(self, training_step: int) -> float:
+        """Scheduled action-selection temperature (``config.py:96-114``)."""
+        temperature = self.temperature_schedule[0][1]
+        for step, temp in self.temperature_schedule:
+            if training_step >= step:
+                temperature = temp
+        return temperature
+
+
+def default_config() -> TrainConfig:
+    """Paper Appendix-C configuration (``config.py:117-126``)."""
+    return TrainConfig()
+
+
+def small_config() -> TrainConfig:
+    """Reduced configuration for experimentation (``config.py:129-153``)."""
+    return TrainConfig(
+        hidden_size=128,
+        num_residual_blocks=5,
+        num_simulations=50,
+        replay_buffer_size=10_000,
+        min_buffer_size=100,
+        batch_size=256,
+        training_steps=100_000,
+        checkpoint_interval=100,
+        log_interval=10,
+        eval_interval=100,
+        num_parallel_games=4,
+        generation_interval=50,
+    )
+
+
+def tiny_config() -> TrainConfig:
+    """Minimal configuration for debugging (``config.py:156-179``)."""
+    return TrainConfig(
+        hidden_size=64,
+        num_residual_blocks=2,
+        num_simulations=10,
+        replay_buffer_size=1_000,
+        min_buffer_size=10,
+        max_trajectory_length=64,
+        batch_size=32,
+        training_steps=1_000,
+        checkpoint_interval=100,
+        log_interval=1,
+        eval_interval=50,
+        eval_games=2,
+        num_parallel_games=2,
+        generation_interval=20,
+    )

@@ -1,0 +1,211 @@
+"""Stochastic MuZero losses: K-step unrolled policy/value/reward/chance/
+commitment objectives.
+
+Counterpart of ``reinforce/training/losses.py``. One deliberate upgrade over
+the reference (flagged in SURVEY.md §2.4 #20): the reference declares the
+VQ-VAE chance path but never wires it — its chance target is a constant
+one-hot at index 0 and the encoder is unused (``losses.py:296-298``), so the
+stochastic model never learns real spawn dynamics. Here
+``config.chance_target_mode`` selects:
+
+- ``"encoder"`` (default): the paper's design — the encoder codes obs_{t+1}
+  into a chance one-hot that (a) serves as the (stop-gradient) cross-entropy
+  target for ψ's chance prediction, (b) teacher-forces the dynamics input
+  via straight-through, and (c) receives a commitment loss.
+- ``"placeholder"``: bit-compatible reproduction of the reference behavior.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from simulate_2048_tpu.models.network import NetworkApplyFns, NetworkParams
+from simulate_2048_tpu.training.config import TrainConfig
+
+Array = jax.Array
+
+
+class LossOutput(NamedTuple):
+    """Loss breakdown (``losses.py:27-36``)."""
+
+    total_loss: Array
+    policy_loss: Array
+    value_loss: Array
+    reward_loss: Array
+    chance_loss: Array
+    commitment_loss: Array
+
+
+class TrainingTargets(NamedTuple):
+    """One training window (``losses.py:38-60``): K+1 observations/policies/
+    values, K actions/rewards."""
+
+    observations: Array  # (K+1, obs_dim)
+    actions: Array  # (K,)
+    target_policies: Array  # (K+1, action_size)
+    target_values: Array  # (K+1,)
+    target_rewards: Array  # (K,)
+
+
+def scale_value(value: Array, epsilon: float = 0.001) -> Array:
+    """h(x) = sign(x)(√(|x|+1) − 1) + εx (``losses.py:63-84``)."""
+    return jnp.sign(value) * (jnp.sqrt(jnp.abs(value) + 1) - 1) + epsilon * value
+
+
+def inverse_scale_value(scaled: Array, epsilon: float = 0.001) -> Array:
+    """h⁻¹ (``losses.py:87-108``)."""
+    inside = 1 + 4 * epsilon * (jnp.abs(scaled) + 1 + epsilon)
+    return jnp.sign(scaled) * (jnp.square((jnp.sqrt(inside) - 1) / (2 * epsilon)) - 1)
+
+
+def policy_loss(predicted_logits: Array, target_policy: Array) -> Array:
+    """Cross-entropy vs a soft target (``losses.py:112-130``)."""
+    return -jnp.sum(target_policy * jax.nn.log_softmax(predicted_logits, axis=-1), axis=-1)
+
+
+def value_loss(predicted_value: Array, target_value: Array, epsilon: float = 0.001) -> Array:
+    """MSE in h-scaled space (``losses.py:134-154``)."""
+    return jnp.square(predicted_value - scale_value(target_value, epsilon))
+
+
+def reward_loss(predicted_reward: Array, target_reward: Array, epsilon: float = 0.001) -> Array:
+    """MSE in h-scaled space (``losses.py:158-177``)."""
+    return jnp.square(predicted_reward - scale_value(target_reward, epsilon))
+
+
+def chance_loss(predicted_logits: Array, target_code: Array) -> Array:
+    """Cross-entropy vs the chance code (``losses.py:181-198``)."""
+    return -jnp.sum(target_code * jax.nn.log_softmax(predicted_logits, axis=-1), axis=-1)
+
+
+def commitment_loss(encoder_probs: Array, target_code: Array) -> Array:
+    """VQ-VAE commitment: ‖e(o) − c‖² (``losses.py:202-220``)."""
+    return jnp.sum(jnp.square(encoder_probs - target_code), axis=-1)
+
+
+def _encode_chance(params: NetworkParams, apply_fns: NetworkApplyFns, observations: Array):
+    """Encode observations to (straight-through code, hard one-hot, commit).
+
+    One encoder pass in soft mode yields everything: probs for gradients and
+    commitment, argmax one-hot for the CE target, straight-through code for
+    teacher-forcing the dynamics input.
+    """
+    probs = apply_fns.encoder(params.encoder, observations, deterministic=False)
+    one_hot = lax.stop_gradient(jax.nn.one_hot(jnp.argmax(probs, axis=-1), probs.shape[-1]))
+    code_st = probs + lax.stop_gradient(one_hot - probs)
+    commit = commitment_loss(probs, one_hot)
+    return code_st, one_hot, commit
+
+
+def compute_loss(
+    params: NetworkParams,
+    apply_fns: NetworkApplyFns,
+    batch: TrainingTargets,
+    config: TrainConfig,
+    weights: Array | None = None,
+) -> tuple[Array, LossOutput]:
+    """Batched K-step unrolled loss (``losses.py:223-389``).
+
+    ``batch`` fields carry a leading batch dim; ``weights`` are optional
+    importance-sampling corrections, normalized to mean 1 as in the reference
+    (``losses.py:355-362``).
+    """
+    use_encoder = config.chance_target_mode == "encoder"
+
+    def single_sample_loss(sample: TrainingTargets) -> LossOutput:
+        k_steps = config.num_unroll_steps
+
+        hidden = apply_fns.representation(params.representation, sample.observations[0])
+        logits0, value0 = apply_fns.prediction(params.prediction, hidden)
+        p0 = policy_loss(logits0, sample.target_policies[0])
+        v0 = value_loss(value0, sample.target_values[0], config.value_epsilon)
+
+        if use_encoder:
+            # Chance codes of obs_1..obs_K (the observed outcomes of steps 0..K-1).
+            code_st, code_onehot, commit_all = _encode_chance(
+                params, apply_fns, sample.observations[1:]
+            )
+        else:
+            width = config.codebook_size
+            code_onehot = jnp.zeros((k_steps, width)).at[:, 0].set(1.0)
+            code_st = code_onehot
+            commit_all = jnp.zeros((k_steps,))
+
+        def unroll_step(carry, step):
+            state, acc_p, acc_v, acc_r, acc_c, acc_commit = carry
+            action_onehot = jax.nn.one_hot(sample.actions[step], config.action_size)
+
+            afterstate = apply_fns.afterstate_dynamics(
+                params.afterstate_dynamics, state, action_onehot
+            )
+            _q, chance_logits = apply_fns.afterstate_prediction(
+                params.afterstate_prediction, afterstate
+            )
+
+            step_c = chance_loss(chance_logits, code_onehot[step])
+            if use_encoder:
+                chance_input = code_st[step]
+            else:
+                # Reference behavior: argmax of the model's own prediction
+                # (``losses.py:304``).
+                chance_input = jax.nn.one_hot(jnp.argmax(chance_logits), config.codebook_size)
+
+            next_state, pred_reward = apply_fns.dynamics(params.dynamics, afterstate, chance_input)
+            next_logits, next_value = apply_fns.prediction(params.prediction, next_state)
+
+            step_p = policy_loss(next_logits, sample.target_policies[step + 1])
+            step_v = value_loss(next_value, sample.target_values[step + 1], config.value_epsilon)
+            step_r = reward_loss(pred_reward, sample.target_rewards[step], config.value_epsilon)
+
+            return (
+                next_state,
+                acc_p + step_p,
+                acc_v + step_v,
+                acc_r + step_r,
+                acc_c + step_c,
+                acc_commit + commit_all[step],
+            ), None
+
+        init = (hidden, p0, v0, jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        (_, tot_p, tot_v, tot_r, tot_c, tot_commit), _ = lax.scan(
+            unroll_step, init, jnp.arange(k_steps)
+        )
+        return LossOutput(
+            total_loss=jnp.float32(0),
+            policy_loss=tot_p / (k_steps + 1),
+            value_loss=tot_v / (k_steps + 1),
+            reward_loss=tot_r / k_steps,
+            chance_loss=tot_c / k_steps,
+            commitment_loss=tot_commit / k_steps,
+        )
+
+    batch_losses = jax.vmap(single_sample_loss)(batch)
+
+    if weights is not None:
+        w = weights / jnp.sum(weights) * weights.shape[0]
+
+        def reduce(x: Array) -> Array:
+            return jnp.sum(w * x) / w.shape[0]
+    else:
+
+        def reduce(x: Array) -> Array:
+            return jnp.mean(x)
+
+    mean_p = reduce(batch_losses.policy_loss)
+    mean_v = reduce(batch_losses.value_loss)
+    mean_r = reduce(batch_losses.reward_loss)
+    mean_c = reduce(batch_losses.chance_loss)
+    mean_commit = reduce(batch_losses.commitment_loss)
+
+    total = (
+        config.policy_loss_weight * mean_p
+        + config.value_loss_weight * mean_v
+        + config.reward_loss_weight * mean_r
+        + config.chance_loss_weight * mean_c
+        + config.commitment_loss_weight * mean_commit
+    )
+    return total, LossOutput(total, mean_p, mean_v, mean_r, mean_c, mean_commit)

@@ -1,0 +1,178 @@
+"""Trainer: buffer-fill → (generate / sample / train / log / checkpoint /
+eval) orchestration.
+
+Counterpart of ``reinforce/training/trainer.py:80-498``. Differences, all
+TPU-motivated:
+- replay lives on device; sampling composes into the jitted step — no
+  ``AsyncBatchLoader`` thread (``replay_buffer.py:417-574`` is moot when
+  there is no host copy to hide);
+- self-play generation is one jitted program per batch (``self_play.py``);
+- priorities are refreshed after every step from the learner's TD errors.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from simulate_2048_tpu.models.network import MuZeroNetwork
+from simulate_2048_tpu.training import replay as replay_lib
+from simulate_2048_tpu.training.checkpoint import CheckpointManager
+from simulate_2048_tpu.training.config import TrainConfig
+from simulate_2048_tpu.training.learner import (
+    TrainState,
+    create_optimizer,
+    create_train_state,
+    train_step,
+)
+from simulate_2048_tpu.training.self_play import evaluate_games, generate_games
+from simulate_2048_tpu.utils.metrics import MetricsLogger
+
+
+@dataclass
+class Trainer:
+    """Single-host actor-learner loop (``trainer.py:80-498``)."""
+
+    config: TrainConfig
+    checkpoint_dir: str | None = None
+    log_dir: str | None = None
+    seed: int | None = None
+
+    state: TrainState = field(init=False, default=None)
+    network: MuZeroNetwork = field(init=False, default=None)
+    buffer: replay_lib.BufferState = field(init=False, default=None)
+    metrics: MetricsLogger = field(init=False, default=None)
+
+    def __post_init__(self):
+        self._key = jax.random.PRNGKey(self.seed if self.seed is not None else self.config.seed)
+        self._optimizer = create_optimizer(self.config)
+        self._ckpt = CheckpointManager(self.checkpoint_dir) if self.checkpoint_dir else None
+        self.metrics = MetricsLogger(self.log_dir)
+
+    # ------------------------------------------------------------------
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def initialize(self) -> None:
+        """Create state + buffer; auto-resume from the latest checkpoint
+        (``trainer.py:126-154``)."""
+        self.state, self.network = create_train_state(self._next_key(), self.config)
+        self.buffer = replay_lib.init_buffer(self.config)
+        if self._ckpt is not None:
+            restored = self._ckpt.restore(self.state)
+            if restored is not None:
+                self.state = restored
+                print(f"resumed from checkpoint at step {int(self.state.step)}")
+
+    def fill_buffer(self, verbose: bool = True) -> None:
+        """Self-play until ``min_buffer_size`` episodes (``trainer.py:156-223``)."""
+        assert self.state is not None, "call initialize() first"
+        while int(self.buffer.size) < self.config.min_buffer_size:
+            traj = generate_games(
+                self.state.params,
+                self.network.apply_fns,
+                self._next_key(),
+                self.config,
+                int(self.state.step),
+            )
+            self.buffer = replay_lib.add_trajectories(self.buffer, traj)
+            if verbose:
+                print(f"buffer: {int(self.buffer.size)}/{self.config.min_buffer_size}")
+
+    def train(self, num_steps: int | None = None, verbose: bool = True) -> dict[str, Any]:
+        """Main loop (``trainer.py:225-367``)."""
+        assert self.state is not None, "call initialize() first"
+        cfg = self.config
+        start_step = int(self.state.step)
+        end_step = start_step + (num_steps if num_steps is not None else cfg.training_steps)
+
+        last_log_time, last_log_step = time.perf_counter(), start_step
+        final_loss: dict[str, float] = {}
+
+        step = start_step
+        while step < end_step:
+            if step % cfg.generation_interval == 0:
+                traj = generate_games(
+                    self.state.params, self.network.apply_fns, self._next_key(), cfg, step
+                )
+                self.buffer = replay_lib.add_trajectories(self.buffer, traj)
+
+            batch, indices, weights = replay_lib.sample_batch(
+                self.buffer, self._next_key(), cfg.batch_size, cfg
+            )
+            self.state, loss_output, priorities = train_step(
+                self.state, self.network.apply_fns, batch, weights, cfg, self._optimizer
+            )
+            self.buffer = replay_lib.update_priorities(self.buffer, indices, priorities)
+            step = int(self.state.step)
+
+            if step % cfg.log_interval == 0:
+                now = time.perf_counter()
+                sps = (step - last_log_step) / max(now - last_log_time, 1e-9)
+                last_log_time, last_log_step = now, step
+                final_loss = {
+                    "step": step,
+                    "total_loss": float(loss_output.total_loss),
+                    "policy_loss": float(loss_output.policy_loss),
+                    "value_loss": float(loss_output.value_loss),
+                    "reward_loss": float(loss_output.reward_loss),
+                    "chance_loss": float(loss_output.chance_loss),
+                    "commitment_loss": float(loss_output.commitment_loss),
+                    "steps_per_s": sps,
+                    "buffer_size": int(self.buffer.size),
+                }
+                self.metrics.log(final_loss)
+                if verbose:
+                    print(
+                        f"step {step}: loss {final_loss['total_loss']:.4f} "
+                        f"(p {final_loss['policy_loss']:.3f} v {final_loss['value_loss']:.3f} "
+                        f"r {final_loss['reward_loss']:.3f} c {final_loss['chance_loss']:.3f}) "
+                        f"{sps:.1f} steps/s"
+                    )
+
+            if self._ckpt is not None and step % cfg.checkpoint_interval == 0:
+                self._ckpt.save(self.state)
+
+            if step % cfg.eval_interval == 0:
+                stats = self.evaluate()
+                self.metrics.log({"step": step, **{f"eval/{k}": v for k, v in stats.items()}})
+                if verbose:
+                    print(
+                        f"eval @ {step}: reward {stats['mean_reward']:.1f} "
+                        f"max tile {stats['max_tile']}"
+                    )
+
+        if self._ckpt is not None:
+            self._ckpt.save(self.state)
+        return final_loss
+
+    def evaluate(self, num_games: int | None = None) -> dict[str, Any]:
+        """Greedy eval rollouts (``trainer.py:410-464``)."""
+        return evaluate_games(
+            self.state.params, self.network.apply_fns, self._next_key(), self.config, num_games
+        )
+
+    def get_metrics_history(self) -> list[dict[str, Any]]:
+        return self.metrics.history
+
+    def get_buffer_stats(self) -> dict[str, Any]:
+        return replay_lib.get_statistics(self.buffer)
+
+
+def train_muzero(
+    config: TrainConfig | None = None,
+    checkpoint_dir: str | None = None,
+    num_steps: int | None = None,
+    seed: int | None = None,
+) -> Trainer:
+    """Convenience entry point (``trainer.py:466-498``)."""
+    trainer = Trainer(config or TrainConfig(), checkpoint_dir=checkpoint_dir, seed=seed)
+    trainer.initialize()
+    trainer.fill_buffer()
+    trainer.train(num_steps)
+    return trainer

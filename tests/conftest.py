@@ -17,5 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 # dominates test wall-clock on small hosts; cache them across runs.
 import jax  # noqa: E402
 
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" (overriding the
+# JAX_PLATFORMS env var), which would silently route "CPU" tests through the
+# TPU tunnel. Pin the config itself.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -1,0 +1,226 @@
+"""Training stack: value transform, losses, replay buffer, TD(λ) returns,
+learner step, checkpoint round-trip — none of which the reference tests
+(SURVEY.md §4)."""
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simulate_2048_tpu.models import create_network
+from simulate_2048_tpu.training import (
+    TrainingTargets,
+    Trajectory,
+    add_trajectories,
+    compute_loss,
+    compute_n_step_returns,
+    create_optimizer,
+    create_train_state,
+    init_buffer,
+    inverse_scale_value,
+    sample_batch,
+    scale_value,
+    tiny_config,
+    train_step,
+    update_priorities,
+)
+from simulate_2048_tpu.training.replay import get_statistics, trajectory_priority
+
+CFG = tiny_config()
+
+
+def make_trajectories(batch: int, length_each: int, cfg=CFG, seed: int = 0) -> Trajectory:
+    t = cfg.max_trajectory_length
+    rs = np.random.RandomState(seed)
+    lengths = np.full(batch, length_each, np.int32)
+    boards = rs.randint(0, 6, size=(batch, t + 1, 16)).astype(np.int8)
+    return Trajectory(
+        boards=jnp.asarray(boards),
+        actions=jnp.asarray(rs.randint(0, 4, size=(batch, t)).astype(np.int8)),
+        rewards=jnp.asarray(rs.rand(batch, t).astype(np.float32) * 4),
+        policies=jnp.asarray(
+            np.full((batch, t, 4), 0.25, np.float32)
+        ),
+        values=jnp.asarray(rs.rand(batch, t).astype(np.float32) * 10),
+        length=jnp.asarray(lengths),
+        total_reward=jnp.asarray(rs.rand(batch).astype(np.float32) * 100),
+        max_tile=jnp.asarray(rs.choice([64, 128, 256], batch).astype(np.int32)),
+    )
+
+
+class TestValueTransform:
+    def test_roundtrip(self):
+        x = jnp.array([-1000.0, -1.0, 0.0, 0.5, 1.0, 100.0, 10000.0])
+        np.testing.assert_allclose(
+            np.asarray(inverse_scale_value(scale_value(x))), np.asarray(x), rtol=1e-3, atol=1e-3
+        )
+
+    def test_compression(self):
+        assert float(scale_value(jnp.float32(10000.0))) < 120.0
+        assert abs(float(scale_value(jnp.float32(0.0)))) < 1e-9
+
+
+class TestLosses:
+    @pytest.fixture(scope="class")
+    def net(self):
+        return create_network(jax.random.PRNGKey(0), hidden_size=16, num_blocks=1)
+
+    def _batch(self, b=2, k=CFG.num_unroll_steps):
+        rs = np.random.RandomState(1)
+        return TrainingTargets(
+            observations=jnp.asarray(rs.rand(b, k + 1, 16).astype(np.float32)),
+            actions=jnp.asarray(rs.randint(0, 4, (b, k))),
+            target_policies=jnp.asarray(np.full((b, k + 1, 4), 0.25, np.float32)),
+            target_values=jnp.asarray(rs.rand(b, k + 1).astype(np.float32) * 50),
+            target_rewards=jnp.asarray(rs.rand(b, k).astype(np.float32) * 4),
+        )
+
+    def test_loss_finite_and_positive(self, net):
+        total, out = compute_loss(net.params, net.apply_fns, self._batch(), CFG)
+        assert np.isfinite(float(total)) and float(total) > 0
+        for v in out:
+            assert np.isfinite(float(v))
+
+    def test_encoder_mode_trains_commitment(self, net):
+        total, out = compute_loss(net.params, net.apply_fns, self._batch(), CFG)
+        # encoder mode: chance loss targets real codes; commitment active.
+        assert float(out.commitment_loss) >= 0.0
+        # gradient flows into the encoder (the reference's never does).
+        grads = jax.grad(
+            lambda p: compute_loss(p, net.apply_fns, self._batch(), CFG)[0]
+        )(net.params)
+        enc_norm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads.encoder))
+        assert enc_norm > 0.0
+
+    def test_placeholder_mode_matches_reference_shape(self, net):
+        cfg = replace(CFG, chance_target_mode="placeholder")
+        total, out = compute_loss(net.params, net.apply_fns, self._batch(), cfg)
+        assert np.isfinite(float(total))
+        grads = jax.grad(
+            lambda p: compute_loss(p, net.apply_fns, self._batch(), cfg)[0]
+        )(net.params)
+        enc_norm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads.encoder))
+        assert enc_norm == 0.0  # encoder unused, as in the reference
+
+    def test_is_weights_change_loss(self, net):
+        b = self._batch(4)
+        w = jnp.array([1.0, 0.1, 0.1, 0.1])
+        t_uniform, _ = compute_loss(net.params, net.apply_fns, b, CFG)
+        t_weighted, _ = compute_loss(net.params, net.apply_fns, b, CFG, w)
+        assert float(t_uniform) != float(t_weighted)
+
+
+class TestReplayBuffer:
+    def test_add_and_stats(self):
+        buf = init_buffer(CFG)
+        buf = add_trajectories(buf, make_trajectories(8, 20))
+        assert int(buf.size) == 8
+        stats = get_statistics(buf)
+        assert stats["episodes_added"] == 8
+        assert stats["mean_episode_length"] == 20.0
+
+    def test_circular_wraparound(self):
+        cfg = replace(CFG, replay_buffer_size=10)
+        buf = init_buffer(cfg)
+        for i in range(3):
+            buf = add_trajectories(buf, make_trajectories(6, 15, cfg, seed=i))
+        assert int(buf.size) == 10
+        assert int(buf.episodes_added) == 18
+        assert int(buf.write_pos) == 8
+
+    def test_sample_shapes_and_validity(self):
+        buf = add_trajectories(init_buffer(CFG), make_trajectories(16, 30))
+        batch, idx, weights = sample_batch(buf, jax.random.PRNGKey(0), 8, CFG)
+        k = CFG.num_unroll_steps
+        assert batch.observations.shape == (8, k + 1, 16)
+        assert batch.actions.shape == (8, k)
+        assert batch.target_policies.shape == (8, k + 1, 4)
+        assert batch.target_values.shape == (8, k + 1)
+        assert batch.target_rewards.shape == (8, k)
+        assert weights.shape == (8,) and float(weights.max()) <= 1.0 + 1e-6
+        assert np.asarray(idx).max() < 16
+
+    def test_beyond_terminal_masking(self):
+        # length-1 episodes: every window crosses the terminal.
+        buf = add_trajectories(init_buffer(CFG), make_trajectories(4, 1))
+        batch, _, _ = sample_batch(buf, jax.random.PRNGKey(0), 4, CFG)
+        # Steps ≥ length: value 0, reward 0, uniform policy.
+        assert float(jnp.abs(batch.target_values[:, 1:]).max()) == 0.0
+        assert float(jnp.abs(batch.target_rewards[:, 1:]).max()) == 0.0
+        np.testing.assert_allclose(np.asarray(batch.target_policies[:, 1:]), 0.25)
+
+    def test_priority_sampling_prefers_high_priority(self):
+        buf = add_trajectories(init_buffer(CFG), make_trajectories(32, 10))
+        hot = jnp.zeros(32).at[7].set(1.0) * 1e6
+        buf = update_priorities(buf, jnp.arange(32), jnp.maximum(hot, 1e-3))
+        _, idx, _ = sample_batch(buf, jax.random.PRNGKey(1), 64, CFG)
+        assert (np.asarray(idx) == 7).mean() > 0.9
+
+    def test_trajectory_priority_reference_rule(self):
+        traj = make_trajectories(4, 10)
+        p = np.asarray(trajectory_priority(traj))
+        assert (p >= 1.0).all()
+
+
+class TestNStepReturns:
+    def test_matches_manual_recursion(self):
+        cfg = CFG
+        rewards = jnp.array([[1.0, 2.0, 3.0, 0.0]])
+        values = jnp.array([[0.5, 0.6, 0.7, 0.0]])
+        lengths = jnp.array([3])
+        g = np.asarray(compute_n_step_returns(rewards, values, lengths, cfg))[0]
+        gamma, lam = cfg.discount, cfg.td_lambda
+        g2 = 3.0  # terminal step: no bootstrap
+        g1 = 2.0 + gamma * ((1 - lam) * 0.7 + lam * g2)
+        g0 = 1.0 + gamma * ((1 - lam) * 0.6 + lam * g1)
+        np.testing.assert_allclose(g[:3], [g0, g1, g2], rtol=1e-5)
+        assert g[3] == 0.0  # beyond episode
+
+
+class TestLearner:
+    def test_train_step_reduces_loss_and_updates(self):
+        cfg = replace(CFG, hidden_size=16, num_residual_blocks=1, batch_size=4)
+        state, network = create_train_state(jax.random.PRNGKey(0), cfg)
+        optimizer = create_optimizer(cfg)
+        rs = np.random.RandomState(0)
+        k = cfg.num_unroll_steps
+        batch = TrainingTargets(
+            observations=jnp.asarray(rs.rand(4, k + 1, 16).astype(np.float32)),
+            actions=jnp.asarray(rs.randint(0, 4, (4, k))),
+            target_policies=jnp.asarray(np.full((4, k + 1, 4), 0.25, np.float32)),
+            target_values=jnp.asarray(rs.rand(4, k + 1).astype(np.float32)),
+            target_rewards=jnp.asarray(rs.rand(4, k).astype(np.float32)),
+        )
+        losses = []
+        for _ in range(5):
+            state, loss_output, priorities = train_step(
+                state, network.apply_fns, batch, None, cfg, optimizer
+            )
+            losses.append(float(loss_output.total_loss))
+        assert int(state.step) == 5
+        assert losses[-1] < losses[0]
+        assert priorities.shape == (4,) and (np.asarray(priorities) > 0).all()
+
+
+class TestCheckpoint:
+    def test_full_roundtrip_including_opt_state(self, tmp_path):
+        from simulate_2048_tpu.training import CheckpointManager
+
+        cfg = replace(CFG, hidden_size=16, num_residual_blocks=1)
+        state, network = create_train_state(jax.random.PRNGKey(0), cfg)
+        state = state._replace(step=jnp.int32(123))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(state)
+        assert mgr.latest_step() == 123
+
+        fresh, _ = create_train_state(jax.random.PRNGKey(1), cfg)
+        restored = mgr.restore(fresh)
+        assert int(restored.step) == 123
+        for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # Optimizer state round-trips too (reference re-inits it).
+        for a, b in zip(jax.tree.leaves(restored.opt_state), jax.tree.leaves(state.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr.close()
