@@ -22,19 +22,43 @@ BASELINE_STEPS_PER_S = 10_000_000.0  # BASELINE.json north star (v5p); we run on
 
 
 def main() -> None:
-    from simulate_2048_tpu.ops.rollout import random_rollout
+    on_tpu = jax.default_backend() != "cpu"
+    num_envs, num_steps = (65_536, 128) if on_tpu else (4_096, 32)
 
-    num_envs, num_steps = 65_536, 128
-    if jax.default_backend() == "cpu":  # keep CI/CPU smoke runs quick
-        num_envs, num_steps = 4_096, 32
+    if on_tpu:
+        # VMEM-resident Pallas rollout kernel (boards never touch HBM
+        # between steps) — ~2x the XLA-scan path.
+        from simulate_2048_tpu.ops import rng as tfrng
+        from simulate_2048_tpu.ops.pallas_rollout import pallas_random_rollout
 
-    # Warmup / compile.
-    jax.block_until_ready(random_rollout(jnp.uint32(1), num_envs, num_steps))
+        @jax.jit
+        def _run(seed):
+            # Everything (incl. seed derivation) under one jit: eager dispatch
+            # over a remote-attached TPU costs ~100ms/op.
+            seeds = tfrng.derive_game_seeds(
+                seed, jnp.arange(num_envs, dtype=jnp.uint32), jnp.zeros(num_envs, jnp.uint32)
+            )
+            _, episodes, _, _ = pallas_random_rollout(seeds, num_steps)
+            return jnp.sum(episodes)
+
+        def run(seed: int) -> int:
+            return int(_run(jnp.uint32(seed)))
+
+    else:
+        from simulate_2048_tpu.ops.rollout import random_rollout
+
+        def run(seed: int) -> int:
+            return int(random_rollout(jnp.uint32(seed), num_envs, num_steps).episodes_finished)
+
+    # Warmup / compile. NOTE: timing is anchored on a host fetch of a scalar
+    # result, not block_until_ready — on the remote-attached TPU backend the
+    # first block_until_ready can return before the work has drained.
+    run(1)
 
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        stats = jax.block_until_ready(random_rollout(jnp.uint32(2 + rep), num_envs, num_steps))
+        run(2 + rep)  # host fetch inside forces device→host sync
         best = min(best, time.perf_counter() - t0)
 
     rate = num_envs * num_steps / best

@@ -134,7 +134,8 @@ def fill_cells_counter(state: np.ndarray, game_seed: int, spawn_index: int) -> n
     """Spawn ONE tile via the counter-based spec — bitwise equal to the device
     path ``ops.board.spawn_tile`` fed by ``ops.rng.spawn_bits``.
 
-    Cell = the (bits0 % num_empty)-th empty cell in row-major order;
+    Cell = the ``mulhi32(bits0, num_empty)``-th empty cell in row-major order
+    (floor(bits0·n/2³²), the spec's uniform pick — see ``ops.board.spawn_rank``);
     value = 4 iff bits1 < FOUR_THRESHOLD else 2. Mutates and returns ``state``.
     """
     empties = np.argwhere(state == 0)  # argwhere is row-major ordered
@@ -142,7 +143,8 @@ def fill_cells_counter(state: np.ndarray, game_seed: int, spawn_index: int) -> n
     if n == 0:
         return state
     b0, b1 = spawn_bits_np(np.uint32(game_seed), np.uint32(spawn_index))
-    cell = empties[int(b0) % n]
+    rank = (int(b0) * n) >> 32
+    cell = empties[rank]
     state[tuple(cell)] = 4 if int(b1) < int(FOUR_THRESHOLD) else 2
     return state
 

@@ -235,20 +235,34 @@ def max_tile(board_exp: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def spawn_rank(bits0: Array, num_empty: Array) -> Array:
+    """Uniform cell rank in [0, num_empty): ``mulhi32(bits0, num_empty)``.
+
+    floor(bits0 · n / 2³²) via 16-bit limbs — int32-only shifts/multiplies so
+    the SAME expression runs in NumPy, XLA, and Mosaic (which lacks unsigned
+    vector div/mod). Bias vs a true modulo is ≤ n/2³², i.e. negligible.
+    """
+    hi = (bits0 >> 16).astype(jnp.int32)
+    lo = (bits0 & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    n = num_empty.astype(jnp.int32)
+    return (hi * n + ((lo * n) >> 16)) >> 16
+
+
 def spawn_tile(board_exp: Array, bits0: Array, bits1: Array) -> Array:
     """Place one new tile on a random empty cell.
 
-    - cell: the ``bits0 % num_empty``-th empty cell in row-major order
+    - cell: the ``spawn_rank(bits0, num_empty)``-th empty cell in row-major
+      order (multiply-high uniform pick — see :func:`spawn_rank`)
     - exponent: 2 (tile 4) iff ``bits1 < FOUR_THRESHOLD`` else 1 (tile 2)
     - full board: unchanged (``core.py:229``)
 
     Fully branchless: rank-selection is a cumsum compare, placement a where.
     """
     flat = board_exp.reshape(*board_exp.shape[:-2], 16)
-    empty = (flat == 0).astype(jnp.uint32)
+    empty = (flat == 0).astype(jnp.int32)
     num_empty = jnp.sum(empty, axis=-1)
 
-    rank = jnp.where(num_empty > 0, bits0 % jnp.maximum(num_empty, 1), 0)
+    rank = spawn_rank(bits0, num_empty)
     # Position of the rank-th empty cell: first index where the running count
     # of empties exceeds `rank`.
     csum = jnp.cumsum(empty, axis=-1)

@@ -13,7 +13,9 @@ Spec
 ----
 - Hash: Threefry-2x32, 20 rounds (the same bijection underlying jax.random).
 - Spawn stream:  ``bits0, bits1 = threefry2x32((SPAWN_STREAM, game_seed), (spawn_index, 0))``
-- Cell choice:   the ``bits0 % num_empty``-th empty cell in row-major order.
+- Cell choice:   the ``mulhi32(bits0, num_empty)``-th empty cell in row-major
+  order — floor(bits0·n/2³²), an int32-only uniform pick that lowers on
+  NumPy, XLA, and Mosaic alike (see ``ops.board.spawn_rank``).
 - Tile value:    4 (exponent 2) iff ``bits1 < FOUR_THRESHOLD`` else 2
   (exponent 1), with ``FOUR_THRESHOLD = round(0.1 * 2**32)`` — the 90/10 rule
   of ``gameboard.py:13``.

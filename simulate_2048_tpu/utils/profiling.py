@@ -26,18 +26,30 @@ def trace(log_dir: str = "profiles"):
         jax.profiler.stop_trace()
 
 
+def _sync(out: Any) -> None:
+    """Force a device→host round-trip.
+
+    ``block_until_ready`` alone is not a reliable fence on remote-attached
+    TPU backends (the first call can return before work drains); fetching one
+    scalar-sized slice of a result is.
+    """
+    leaves = jax.tree.leaves(out)
+    if leaves:
+        jax.device_get(jax.tree.map(lambda x: x.ravel()[0] if hasattr(x, "ravel") else x, leaves[0]))
+
+
 def time_fn(fn: Callable[[], Any], warmup: int = 1, reps: int = 5) -> dict[str, float]:
     """Time a nullary device function; returns compile/steady stats in ms."""
     t0 = time.perf_counter()
     for _ in range(max(warmup, 1)):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     compile_ms = (time.perf_counter() - t0) * 1e3
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _sync(fn())
         times.append((time.perf_counter() - t0) * 1e3)
     times.sort()
     return {
