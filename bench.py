@@ -15,6 +15,11 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
+from simulate_2048_tpu.utils.platform import enable_compile_cache, respect_env_platforms
+
+respect_env_platforms()
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 

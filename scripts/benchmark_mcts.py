@@ -24,11 +24,14 @@ def main() -> None:
     parser.add_argument("--mode", choices=["tiny", "small", "full"], default="small")
     args = parser.parse_args()
 
+    from simulate_2048_tpu.utils.platform import enable_compile_cache, respect_env_platforms
+
+    respect_env_platforms()
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent.parent / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from simulate_2048_tpu.env import env as envlib
     from simulate_2048_tpu.models import create_network

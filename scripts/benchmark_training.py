@@ -24,12 +24,15 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=20)
     args = parser.parse_args()
 
+    from simulate_2048_tpu.utils.platform import enable_compile_cache, respect_env_platforms
+
+    respect_env_platforms()
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent.parent / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from simulate_2048_tpu.training import (
         Trajectory,

@@ -19,6 +19,11 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
+    from simulate_2048_tpu.utils.platform import enable_compile_cache, respect_env_platforms
+
+    respect_env_platforms()
+    enable_compile_cache()
+
     import jax
     import numpy as np
 

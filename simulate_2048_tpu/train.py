@@ -8,7 +8,6 @@ recompiles.
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def main() -> None:
@@ -21,13 +20,12 @@ def main() -> None:
     parser.add_argument("--no-eval", action="store_true")
     args = parser.parse_args()
 
-    import jax
+    from simulate_2048_tpu.utils.platform import enable_compile_cache, respect_env_platforms
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    respect_env_platforms()
+    enable_compile_cache()
+
+    import jax
 
     from simulate_2048_tpu.training import Trainer, default_config, small_config, tiny_config
 

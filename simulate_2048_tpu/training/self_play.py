@@ -171,6 +171,29 @@ def evaluate_games(
     return stats
 
 
+def warmup_self_play(
+    params: NetworkParams,
+    apply_fns: NetworkApplyFns,
+    config: TrainConfig,
+    num_games: int | None = None,
+) -> float:
+    """Trigger compilation of the self-play program with dummy inputs.
+
+    Counterpart of the reference's ``warmup_mcts``/``warmup_batched_mcts``
+    (``self_play.py:165-255``). With the persistent compilation cache this is
+    usually a no-op after the first ever run; returns elapsed seconds.
+    """
+    import time
+
+    n = num_games or config.num_parallel_games
+    t0 = time.perf_counter()
+    traj = play_games(
+        params, apply_fns, jax.random.PRNGKey(0), jnp.float32(1.0), config, n, False
+    )
+    jax.block_until_ready(traj.length)
+    return time.perf_counter() - t0
+
+
 @partial(jax.jit, static_argnums=(3,))
 def compute_n_step_returns(
     rewards: Array, values: Array, lengths: Array, config: TrainConfig
