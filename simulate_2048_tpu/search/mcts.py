@@ -67,10 +67,11 @@ def _select_child(tree: Tree, node: Array, cfg: SearchConfig) -> Array:
     Chance nodes: argmax p(c) / (1 + N(c)) — deterministic visit allocation
     proportional to the predicted chance distribution (the jit-friendly
     stand-in for sampling c ~ σ used by mctx's stochastic policy).
+
+    Reads only dense (K,) rows of the node — no gathers (see tree.py note).
     """
-    k = tree.prior_logits.shape[-1]
-    prior = jax.nn.softmax(tree.prior_logits[node])  # padded slots → 0
-    child_visits = tree_lib.children_visits(tree, node)
+    prior = tree.prior_probs[node]  # padded slots are exactly 0
+    child_visits = tree.children_visits[node]
     is_dec = tree.is_decision[node]
 
     # PUCT score (decision nodes)
@@ -83,9 +84,10 @@ def _select_child(tree: Tree, node: Array, cfg: SearchConfig) -> Array:
     chance = prior / (1.0 + child_visits)
 
     score = jnp.where(is_dec, puct, chance)
-    width = jnp.where(is_dec, cfg.num_actions, cfg.codebook_size)
-    valid = jnp.arange(k) < width
-    return jnp.argmax(jnp.where(valid, score, NEG_INF)).astype(jnp.int32)
+    # Padded/invalid slots have prior exactly 0: their PUCT score reduces to
+    # qt (= normalized parent value). Mask by prior instead of slot index so
+    # zero-probability actions are never taken.
+    return jnp.argmax(jnp.where(prior > 0, score, NEG_INF)).astype(jnp.int32)
 
 
 def _traverse(tree: Tree, cfg: SearchConfig) -> tuple[Array, Array]:
@@ -107,8 +109,11 @@ def _traverse(tree: Tree, cfg: SearchConfig) -> tuple[Array, Array]:
 
 
 def _backup(tree: Tree, leaf: Array, leaf_value: Array) -> Tree:
-    """Propagate ``leaf_value`` from ``leaf`` to the root, updating the
-    running-mean value and visit count of every node on the path."""
+    """Propagate ``leaf_value`` from ``leaf`` to the root.
+
+    Updates each path node's running-mean value/visit AND the dense edge
+    statistics of its parent edge (children_visits / children_values =
+    r + γ·V(child)), keeping selection gather-free."""
 
     def cond(state):
         idx, _, _ = state
@@ -118,16 +123,28 @@ def _backup(tree: Tree, leaf: Array, leaf_value: Array) -> Tree:
         idx, v, tree = state
         visit = tree.node_visit[idx]
         value = tree.node_value[idx]
-        tree = tree._replace(
-            node_value=tree.node_value.at[idx].set(
-                (value * visit + v) / (visit + 1.0)
-            ),
-            node_visit=tree.node_visit.at[idx].add(1),
-        )
+        new_value = (value * visit + v) / (visit + 1.0)
         parent = tree.parent_index[idx]
         edge = tree.action_from_parent[idx]
         safe_p, safe_e = jnp.maximum(parent, 0), jnp.maximum(edge, 0)
-        v = tree.children_reward[safe_p, safe_e] + tree.children_discount[safe_p, safe_e] * v
+        edge_r = tree.children_reward[safe_p, safe_e]
+        edge_d = tree.children_discount[safe_p, safe_e]
+        has_parent = parent >= 0
+        tree = tree._replace(
+            node_value=tree.node_value.at[idx].set(new_value),
+            node_visit=tree.node_visit.at[idx].add(1),
+            children_visits=tree.children_visits.at[safe_p, safe_e].add(
+                jnp.where(has_parent, 1, 0)
+            ),
+            children_values=tree.children_values.at[safe_p, safe_e].set(
+                jnp.where(
+                    has_parent,
+                    edge_r + edge_d * new_value,
+                    tree.children_values[safe_p, safe_e],
+                )
+            ),
+        )
+        v = edge_r + edge_d * v
         return parent, v, tree
 
     _, _, tree = jax.lax.while_loop(cond, body, (leaf, leaf_value, tree))
@@ -146,7 +163,7 @@ def _expand_and_backup(
     parent, edge = _traverse(tree, cfg)
     parent_emb = tree.embedding[parent]
     parent_is_dec = tree.is_decision[parent]
-    k = tree.prior_logits.shape[-1]
+    k = tree.prior_probs.shape[-1]
 
     # Decision parent → chance child: φ then ψ (``stochastic_mctx.py:119-165``).
     a_onehot = jax.nn.one_hot(jnp.minimum(edge, cfg.num_actions - 1), cfg.num_actions)
@@ -158,11 +175,12 @@ def _expand_and_backup(
     hidden, reward = apply_fns.dynamics(params.dynamics, parent_emb, c_onehot)
     action_logits, value = apply_fns.prediction(params.prediction, hidden)
 
-    def pad(logits: Array) -> Array:
-        return jnp.full((k,), NEG_INF).at[: logits.shape[-1]].set(logits)
+    def pad_probs(logits: Array) -> Array:
+        # softmax once at expansion; padded slots stay exactly 0.
+        return jnp.zeros((k,)).at[: logits.shape[-1]].set(jax.nn.softmax(logits))
 
     embedding_new = jnp.where(parent_is_dec, afterstate, hidden)
-    prior_new = jnp.where(parent_is_dec, pad(chance_logits), pad(action_logits))
+    prior_new = jnp.where(parent_is_dec, pad_probs(chance_logits), pad_probs(action_logits))
     leaf_value = jnp.where(parent_is_dec, q_value, value)
     edge_reward = jnp.where(parent_is_dec, 0.0, reward)
     edge_discount = jnp.where(parent_is_dec, 1.0, cfg.discount)
@@ -170,7 +188,7 @@ def _expand_and_backup(
     tree = tree._replace(
         embedding=tree.embedding.at[new_index].set(embedding_new),
         is_decision=tree.is_decision.at[new_index].set(~parent_is_dec),
-        prior_logits=tree.prior_logits.at[new_index].set(prior_new),
+        prior_probs=tree.prior_probs.at[new_index].set(prior_new),
         children_index=tree.children_index.at[parent, edge].set(new_index),
         children_reward=tree.children_reward.at[parent, edge].set(edge_reward),
         children_discount=tree.children_discount.at[parent, edge].set(edge_discount),
@@ -192,16 +210,15 @@ def _search_single(
     hidden = apply_fns.representation(params.representation, observation)
     root_logits, root_value = apply_fns.prediction(params.prediction, hidden)
 
-    # Root exploration noise: logits ← log((1-ρ)·π + ρ·Dir(α))
+    # Root exploration noise: π ← (1-ρ)·π + ρ·Dir(α)
     # (mctx's root noise scheme with the reference's ρ=0.1, α=0.25).
+    root_probs = jax.nn.softmax(root_logits)
     if cfg.dirichlet_fraction > 0.0:
         noise = jax.random.dirichlet(key, jnp.full((cfg.num_actions,), cfg.dirichlet_alpha))
-        probs = jax.nn.softmax(root_logits)
-        root_logits = jnp.log(
-            (1.0 - cfg.dirichlet_fraction) * probs + cfg.dirichlet_fraction * noise + 1e-30
-        )
+        root_probs = (1.0 - cfg.dirichlet_fraction) * root_probs + cfg.dirichlet_fraction * noise
     if invalid_actions is not None:
-        root_logits = jnp.where(invalid_actions, NEG_INF, root_logits)
+        root_probs = jnp.where(invalid_actions, 0.0, root_probs)
+        root_probs = root_probs / jnp.maximum(jnp.sum(root_probs), 1e-12)
 
     width = max(cfg.num_actions, cfg.codebook_size)
     tree = tree_lib.init_tree(
@@ -209,7 +226,7 @@ def _search_single(
         width=width,
         hidden_size=hidden.shape[-1],
         root_embedding=hidden,
-        root_prior_logits=root_logits,
+        root_prior_probs=root_probs,
         root_value=root_value,
     )
 

