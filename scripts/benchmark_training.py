@@ -76,9 +76,14 @@ def main() -> None:
 
     batch, _, weights = sample_batch(buffer, key, config.batch_size, config)
 
-    # NOTE: train_step donates its input state; keep a fresh copy per call.
+    # NOTE: train_step donates its input state, so thread it through the reps.
+    state_box = [state]
+
     def one_step():
-        new_state, loss, _ = train_step(state, network.apply_fns, batch, weights, config, optimizer)
+        new_state, loss, _ = train_step(
+            state_box[0], network.apply_fns, batch, weights, config, optimizer
+        )
+        state_box[0] = new_state
         return loss.total_loss
 
     train_stats = time_fn(one_step, warmup=1, reps=max(args.steps, 3))

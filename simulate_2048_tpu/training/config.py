@@ -89,6 +89,11 @@ class TrainConfig:
     # declared-but-unwired training path).
     chance_target_mode: str = "encoder"
 
+    # Value-target mode: "search" stores raw MCTS root values (the reference's
+    # actual behavior); "td_lambda" applies the TD(λ) n-step recursion the
+    # reference defines but never calls (``self_play.py:524-579``).
+    value_target_mode: str = "search"
+
     seed: int = 42
 
     def get_temperature(self, training_step: int) -> float:

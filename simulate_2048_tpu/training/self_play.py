@@ -138,10 +138,19 @@ def generate_games(
     training_step: int,
     num_games: int | None = None,
 ) -> Trajectory:
-    """Self-play generation entry point (``self_play.py:396-457``)."""
+    """Self-play generation entry point (``self_play.py:396-457``).
+
+    With ``config.value_target_mode == "td_lambda"`` the stored value targets
+    are TD(λ) n-step returns over the finished trajectories instead of raw
+    search values (see :func:`compute_n_step_returns`).
+    """
     temperature = jnp.float32(config.get_temperature(training_step))
     n = num_games or config.num_parallel_games
-    return play_games(params, apply_fns, key, temperature, config, n, False)
+    traj = play_games(params, apply_fns, key, temperature, config, n, False)
+    if config.value_target_mode == "td_lambda":
+        returns = compute_n_step_returns(traj.rewards, traj.values, traj.length, config)
+        traj = traj._replace(values=returns)
+    return traj
 
 
 def evaluate_games(
