@@ -3,6 +3,7 @@
 from simulate_2048_tpu.ops.board import (
     BOARD_SIZE,
     NUM_ACTIONS,
+    afterstate_outcomes,
     apply_action,
     count_empty,
     create_initial_board,
@@ -26,6 +27,7 @@ from simulate_2048_tpu.ops.rng import (
 
 __all__ = [
     "BOARD_SIZE",
+    "afterstate_outcomes",
     "NUM_ACTIONS",
     "FOUR_THRESHOLD",
     "apply_action",

@@ -305,6 +305,42 @@ def create_initial_board(game_seed: Array) -> Array:
     return board
 
 
+def afterstate_outcomes(board_exp: Array) -> tuple[Array, Array]:
+    """Enumerate ALL spawn outcomes of an afterstate with probabilities.
+
+    Device counterpart of the host engine's ``after_state``
+    (``gameboard.py:132-171``): for each of the 16 cells × {2, 4} values,
+    the successor board and its probability P(v)/num_empty (0 for occupied
+    cells). A full board yields the input with probability 1 at slot 0.
+
+    Returns (boards (…, 32, 4, 4), probs (…, 32)); slots are ordered
+    cell-major ((cell 0, tile 2), (cell 0, tile 4), (cell 1, tile 2), …),
+    matching the eager enumeration order of the reference.
+    """
+    flat = board_exp.reshape(*board_exp.shape[:-2], 16)
+    empty = flat == 0
+    num_empty = jnp.sum(empty.astype(jnp.int32), axis=-1)
+
+    # (16 outcomes, 16 cells) placement mask, zeroed on occupied cells so the
+    # zero-probability outcomes still carry valid (unchanged) boards.
+    eye = jnp.eye(16, dtype=board_exp.dtype) * empty[..., None, :].astype(board_exp.dtype)
+    boards2 = flat[..., None, :] + eye * 1  # exponent 1 = tile 2
+    boards4 = flat[..., None, :] + eye * 2  # exponent 2 = tile 4
+    boards = jnp.stack([boards2, boards4], axis=-2)  # (…, 16, 2, 16)
+    boards = boards.reshape(*board_exp.shape[:-2], 32, 4, 4)
+
+    p_cell = empty.astype(jnp.float32) / jnp.maximum(num_empty, 1)[..., None].astype(jnp.float32)
+    probs = jnp.stack([p_cell * 0.9, p_cell * 0.1], axis=-1).reshape(*board_exp.shape[:-2], 32)
+
+    # Full board: input board with probability 1 in slot 0.
+    full = (num_empty == 0)[..., None]
+    probs = jnp.where(full, jnp.zeros_like(probs).at[..., 0].set(1.0), probs)
+    boards = jnp.where(
+        full[..., None, None], board_exp[..., None, :, :], boards
+    )
+    return boards, probs
+
+
 # ---------------------------------------------------------------------------
 # Observation encoding & action sampling
 # ---------------------------------------------------------------------------

@@ -196,3 +196,38 @@ class TestJitVmapContracts:
         for i in range(10):
             a = jb.sample_action(jax.random.PRNGKey(i), 1.0, policy, mask)
             assert int(a) in (0, 2)
+
+
+class TestAfterstateOutcomes:
+    """Device afterstate enumeration vs the host engine's after_state."""
+
+    def test_matches_engine_enumeration(self):
+        rs = np.random.RandomState(9)
+        for _ in range(30):
+            exp = rs.randint(0, 6, size=(4, 4))
+            exp[rs.rand(4, 4) < 0.5] = 0
+            board = (2.0**exp).astype(np.int64) * (exp > 0)
+            ref = nb.after_state(board)
+
+            boards, probs = jb.afterstate_outcomes(to_exp(board))
+            boards, probs = np.asarray(boards), np.asarray(probs)
+            # Collect device outcomes with nonzero probability.
+            dev = []
+            for j in range(32):
+                if probs[j] > 0:
+                    vals = np.where(boards[j] > 0, 2 ** boards[j].astype(np.int64), 0)
+                    dev.append((vals, probs[j]))
+            assert len(dev) == len(ref)
+            key = lambda t: (t[0].tobytes(), round(float(t[1]), 9))
+            for (db, dp), (rb, rp) in zip(sorted(dev, key=key), sorted(ref, key=key)):
+                np.testing.assert_array_equal(db, rb)
+                assert abs(dp - rp) < 1e-6
+            assert abs(probs.sum() - 1.0) < 1e-5
+
+    def test_full_board_single_outcome(self):
+        board = 2 ** np.arange(1, 17).reshape(4, 4).astype(np.int64)
+        boards, probs = jb.afterstate_outcomes(to_exp(board))
+        probs = np.asarray(probs)
+        assert probs[0] == 1.0 and probs[1:].sum() == 0.0
+        vals = np.where(np.asarray(boards[0]) > 0, 2 ** np.asarray(boards[0]).astype(np.int64), 0)
+        np.testing.assert_array_equal(vals, board)
