@@ -18,6 +18,11 @@ def main() -> None:
     parser.add_argument("--log-dir", default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--no-eval", action="store_true")
+    parser.add_argument(
+        "--data-parallel",
+        action="store_true",
+        help="shard the learner batch over all visible devices (DP over a 'data' mesh)",
+    )
     args = parser.parse_args()
 
     from simulate_2048_tpu.utils.platform import enable_compile_cache, respect_env_platforms
@@ -32,11 +37,19 @@ def main() -> None:
     config = {"tiny": tiny_config, "small": small_config, "full": default_config}[args.mode]()
     print(f"mode={args.mode} devices={jax.devices()}")
 
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from simulate_2048_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel over {len(jax.devices())} devices")
+
     trainer = Trainer(
         config,
         checkpoint_dir=args.checkpoint_dir,
         log_dir=args.log_dir,
         seed=args.seed,
+        mesh=mesh,
     )
     trainer.initialize()
     trainer.fill_buffer()

@@ -69,9 +69,11 @@ class TrainConfig:
     eval_interval: int = 1_000
     eval_games: int = 10
 
-    # Self-play.
-    num_parallel_games: int = 8
-    generation_interval: int = 100
+    # Self-play. Same games-per-train-step ratio as the reference
+    # (8 games / 100 steps, ``config.py:79-80``) but in TPU-sized batches:
+    # tiny per-move MCTS batches are dispatch-latency-bound on accelerators.
+    num_parallel_games: int = 256
+    generation_interval: int = 3200
 
     # Value scaling h(x) = sign(x)(√(|x|+1) − 1) + εx.
     value_epsilon: float = 0.001
@@ -123,8 +125,8 @@ def small_config() -> TrainConfig:
         checkpoint_interval=100,
         log_interval=10,
         eval_interval=100,
-        num_parallel_games=4,
-        generation_interval=50,
+        num_parallel_games=64,
+        generation_interval=800,
     )
 
 

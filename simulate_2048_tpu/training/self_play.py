@@ -180,6 +180,20 @@ def evaluate_games(
     return stats
 
 
+def play_game(
+    params: NetworkParams,
+    apply_fns: NetworkApplyFns,
+    key: Array,
+    config: TrainConfig,
+    training_step: int = 0,
+    greedy: bool = False,
+) -> Trajectory:
+    """Play ONE game (``self_play.py:51-162`` counterpart): a batch-1 call of
+    :func:`play_games`; fields keep their leading batch dim of 1."""
+    temperature = jnp.float32(config.get_temperature(training_step))
+    return play_games(params, apply_fns, key, temperature, config, 1, greedy)
+
+
 def warmup_self_play(
     params: NetworkParams,
     apply_fns: NetworkApplyFns,

@@ -118,6 +118,18 @@ class Trainer:
         last_log_time, last_log_step = time.perf_counter(), start_step
         final_loss: dict[str, float] = {}
 
+        try:
+            final_loss = self._train_loop(start_step, end_step, last_log_time, last_log_step, verbose)
+        finally:
+            # Crash-safe: always persist the latest state (the reference only
+            # checkpoints on the happy path, ``trainer.py:357-359``).
+            if self._ckpt is not None:
+                self._ckpt.save(self.state)
+        return final_loss
+
+    def _train_loop(self, start_step, end_step, last_log_time, last_log_step, verbose):
+        cfg = self.config
+        final_loss: dict[str, float] = {}
         step = start_step
         while step < end_step:
             if step % cfg.generation_interval == 0:
@@ -131,7 +143,9 @@ class Trainer:
             )
             self.state, loss_output, priorities = self._train_fn(batch, weights)
             self.buffer = replay_lib.update_priorities(self.buffer, indices, priorities)
-            step = int(self.state.step)
+            # Host-side step counter: fetching state.step would force a
+            # device sync every iteration (expensive on remote-attached TPUs).
+            step += 1
 
             if step % cfg.log_interval == 0:
                 now = time.perf_counter()
@@ -169,8 +183,6 @@ class Trainer:
                         f"max tile {stats['max_tile']}"
                     )
 
-        if self._ckpt is not None:
-            self._ckpt.save(self.state)
         return final_loss
 
     def evaluate(self, num_games: int | None = None) -> dict[str, Any]:
