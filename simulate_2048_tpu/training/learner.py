@@ -108,6 +108,48 @@ def train_step(
     return new_state, loss_output, priorities
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 6), donate_argnums=(0, 1))
+def train_superstep(
+    state: TrainState,
+    buffer_state,
+    key: Array,
+    apply_fns: NetworkApplyFns,
+    config: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    num_steps: int,
+) -> tuple[TrainState, Any, LossOutput]:
+    """``num_steps`` full learner iterations — sample, step, priority update —
+    in ONE jitted ``fori_loop``.
+
+    The per-step host loop costs three dispatches plus tracking overhead; on a
+    remote-attached TPU that dominates small-model steps. Fusing N steps per
+    dispatch removes all host involvement between steps (the device-resident
+    replay buffer is what makes this possible — the reference's host NumPy
+    buffer could never live inside jit). Returns (state, buffer, mean losses).
+    """
+    from simulate_2048_tpu.training import replay as replay_lib
+
+    def body(i, carry):
+        state, buffer, key, acc = carry
+        key, sample_key = jax.random.split(key)
+        batch, indices, weights = replay_lib.sample_batch(
+            buffer, sample_key, config.batch_size, config
+        )
+        state, loss_output, priorities = train_step(
+            state, apply_fns, batch, weights, config, optimizer
+        )
+        buffer = replay_lib.update_priorities(buffer, indices, priorities)
+        acc = jax.tree.map(lambda a, x: a + x, acc, loss_output)
+        return state, buffer, key, acc
+
+    zero = LossOutput(*([jnp.float32(0)] * 6))
+    state, buffer_state, _, acc = jax.lax.fori_loop(
+        0, num_steps, body, (state, buffer_state, key, zero)
+    )
+    mean_losses = jax.tree.map(lambda x: x / num_steps, acc)
+    return state, buffer_state, mean_losses
+
+
 def compute_gradient_stats(grads: NetworkParams) -> dict[str, float]:
     """Per-network gradient norms for diagnostics (``learner.py:305-328``)."""
     out = {}

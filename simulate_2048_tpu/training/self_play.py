@@ -167,6 +167,17 @@ def evaluate_games(
     traj = play_games(params, apply_fns, key, jnp.float32(0.0), config, n, True)
     rewards = np.asarray(traj.total_reward)
     tiles = np.asarray(traj.max_tile)
+
+    # VQ-VAE health: how many distinct chance codes the encoder assigns to the
+    # observations seen in eval. 1 = code collapse (the stochastic model has
+    # degenerated to deterministic — functionally the reference's placeholder
+    # behavior); healthy runs use a spread of the 32 codes.
+    obs = traj.boards[:, :-1].astype(jnp.float32) / 16.0
+    encode = jax.jit(lambda p, o: jnp.argmax(apply_fns.encoder(p, o), axis=-1))
+    code_ids = np.asarray(encode(params.encoder, obs.reshape(-1, obs.shape[-1])))
+    active = np.asarray(traj.length)[:, None] > np.arange(obs.shape[1])[None, :]
+    used = np.unique(code_ids.reshape(active.shape)[active])
+
     stats: dict[str, Any] = {
         "mean_reward": float(rewards.mean()),
         "std_reward": float(rewards.std()),
@@ -174,6 +185,7 @@ def evaluate_games(
         "mean_max_tile": float(tiles.mean()),
         "max_tile": int(tiles.max()),
         "mean_length": float(np.asarray(traj.length).mean()),
+        "encoder_codes_used": int(used.size),
     }
     for tile in (256, 512, 1024, 2048, 4096, 8192, 16384, 32768):
         stats[f"reached_{tile}"] = int((tiles >= tile).sum())

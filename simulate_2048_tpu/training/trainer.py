@@ -28,6 +28,7 @@ from simulate_2048_tpu.training.learner import (
     create_optimizer,
     create_train_state,
     train_step,
+    train_superstep,
 )
 from simulate_2048_tpu.training.self_play import evaluate_games, generate_games
 from simulate_2048_tpu.utils.metrics import MetricsLogger
@@ -131,6 +132,15 @@ class Trainer:
         cfg = self.config
         final_loss: dict[str, float] = {}
         step = start_step
+        # Fused supersteps: sample→train→priority-update for a whole log
+        # interval inside one jitted fori_loop (zero host involvement between
+        # steps). Falls back to per-step dispatch under a mesh or when the
+        # intervals do not align.
+        chunk = max(cfg.log_interval, 1)
+        fused = self.mesh is None and all(
+            interval % chunk == 0
+            for interval in (cfg.generation_interval, cfg.checkpoint_interval, cfg.eval_interval)
+        )
         while step < end_step:
             if step % cfg.generation_interval == 0:
                 traj = generate_games(
@@ -138,14 +148,27 @@ class Trainer:
                 )
                 self.buffer = replay_lib.add_trajectories(self.buffer, traj)
 
-            batch, indices, weights = replay_lib.sample_batch(
-                self.buffer, self._next_key(), cfg.batch_size, cfg
-            )
-            self.state, loss_output, priorities = self._train_fn(batch, weights)
-            self.buffer = replay_lib.update_priorities(self.buffer, indices, priorities)
-            # Host-side step counter: fetching state.step would force a
-            # device sync every iteration (expensive on remote-attached TPUs).
-            step += 1
+            if fused:
+                n = min(chunk, end_step - step)
+                self.state, self.buffer, loss_output = train_superstep(
+                    self.state,
+                    self.buffer,
+                    self._next_key(),
+                    self.network.apply_fns,
+                    cfg,
+                    self._optimizer,
+                    n,
+                )
+                step += n
+            else:
+                batch, indices, weights = replay_lib.sample_batch(
+                    self.buffer, self._next_key(), cfg.batch_size, cfg
+                )
+                self.state, loss_output, priorities = self._train_fn(batch, weights)
+                self.buffer = replay_lib.update_priorities(self.buffer, indices, priorities)
+                # Host-side step counter: fetching state.step would force a
+                # device sync every iteration.
+                step += 1
 
             if step % cfg.log_interval == 0:
                 now = time.perf_counter()
