@@ -96,6 +96,12 @@ class TrainConfig:
     # reference defines but never calls (``self_play.py:524-579``).
     value_target_mode: str = "search"
 
+    # Anti-collapse exploration for the VQ-VAE encoder: scale of Gumbel noise
+    # added to encoder logits when picking the (stop-gradient) chance-code
+    # target during training. 0 = paper-faithful deterministic argmax, which
+    # empirically collapses to a single code on 2048 (docs/project.md).
+    encoder_noise_scale: float = 0.0
+
     seed: int = 42
 
     def get_temperature(self, training_step: int) -> float:

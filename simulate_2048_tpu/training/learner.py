@@ -92,7 +92,11 @@ def train_step(
     """
 
     def loss_fn(params: NetworkParams):
-        return compute_loss(params, apply_fns, batch, config, is_weights)
+        if config.encoder_noise_scale > 0.0:
+            rng = jax.random.fold_in(jax.random.PRNGKey(config.seed), state.step)
+        else:
+            rng = None
+        return compute_loss(params, apply_fns, batch, config, is_weights, rng)
 
     (_, loss_output), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)

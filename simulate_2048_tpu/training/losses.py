@@ -87,15 +87,29 @@ def commitment_loss(encoder_probs: Array, target_code: Array) -> Array:
     return jnp.sum(jnp.square(encoder_probs - target_code), axis=-1)
 
 
-def _encode_chance(params: NetworkParams, apply_fns: NetworkApplyFns, observations: Array):
+def _encode_chance(
+    params: NetworkParams,
+    apply_fns: NetworkApplyFns,
+    observations: Array,
+    noise_scale: float = 0.0,
+    key: Array | None = None,
+):
     """Encode observations to (straight-through code, hard one-hot, commit).
 
     One encoder pass in soft mode yields everything: probs for gradients and
     commitment, argmax one-hot for the CE target, straight-through code for
-    teacher-forcing the dynamics input.
+    teacher-forcing the dynamics input. With ``noise_scale > 0`` (and a key),
+    Gumbel noise perturbs the code choice during training — an anti-collapse
+    measure (see ``config.encoder_noise_scale``).
     """
     probs = apply_fns.encoder(params.encoder, observations, deterministic=False)
-    one_hot = lax.stop_gradient(jax.nn.one_hot(jnp.argmax(probs, axis=-1), probs.shape[-1]))
+    select_logits = jnp.log(probs + 1e-12)
+    if noise_scale > 0.0 and key is not None:
+        gumbel = jax.random.gumbel(key, probs.shape)
+        select_logits = select_logits + noise_scale * gumbel
+    one_hot = lax.stop_gradient(
+        jax.nn.one_hot(jnp.argmax(select_logits, axis=-1), probs.shape[-1])
+    )
     code_st = probs + lax.stop_gradient(one_hot - probs)
     commit = commitment_loss(probs, one_hot)
     return code_st, one_hot, commit
@@ -107,6 +121,7 @@ def compute_loss(
     batch: TrainingTargets,
     config: TrainConfig,
     weights: Array | None = None,
+    key: Array | None = None,
 ) -> tuple[Array, LossOutput]:
     """Batched K-step unrolled loss (``losses.py:223-389``).
 
@@ -115,8 +130,12 @@ def compute_loss(
     (``losses.py:355-362``).
     """
     use_encoder = config.chance_target_mode == "encoder"
+    if key is None:
+        sample_keys = None
+    else:
+        sample_keys = jax.random.split(key, batch.actions.shape[0])
 
-    def single_sample_loss(sample: TrainingTargets) -> LossOutput:
+    def single_sample_loss(sample: TrainingTargets, sample_key) -> LossOutput:
         k_steps = config.num_unroll_steps
 
         hidden = apply_fns.representation(params.representation, sample.observations[0])
@@ -127,7 +146,11 @@ def compute_loss(
         if use_encoder:
             # Chance codes of obs_1..obs_K (the observed outcomes of steps 0..K-1).
             code_st, code_onehot, commit_all = _encode_chance(
-                params, apply_fns, sample.observations[1:]
+                params,
+                apply_fns,
+                sample.observations[1:],
+                config.encoder_noise_scale,
+                sample_key,
             )
         else:
             width = config.codebook_size
@@ -183,7 +206,10 @@ def compute_loss(
             commitment_loss=tot_commit / k_steps,
         )
 
-    batch_losses = jax.vmap(single_sample_loss)(batch)
+    if sample_keys is None:
+        batch_losses = jax.vmap(lambda s: single_sample_loss(s, None))(batch)
+    else:
+        batch_losses = jax.vmap(single_sample_loss)(batch, sample_keys)
 
     if weights is not None:
         w = weights / jnp.sum(weights) * weights.shape[0]

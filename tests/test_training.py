@@ -224,3 +224,40 @@ class TestCheckpoint:
         for a, b in zip(jax.tree.leaves(restored.opt_state), jax.tree.leaves(state.opt_state)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         mgr.close()
+
+
+class TestEncoderNoise:
+    def test_gumbel_noise_diversifies_targets(self):
+        """With noise, the chance-code targets vary across keys; without, they
+        are deterministic."""
+        net = create_network(jax.random.PRNGKey(0), hidden_size=16, num_blocks=1)
+        from simulate_2048_tpu.training.losses import _encode_chance
+
+        obs = jnp.zeros((8, 16))  # identical observations -> identical codes
+        _, hot_a, _ = _encode_chance(net.params, net.apply_fns, obs, 0.0, None)
+        _, hot_b, _ = _encode_chance(net.params, net.apply_fns, obs, 0.0, None)
+        np.testing.assert_array_equal(np.asarray(hot_a), np.asarray(hot_b))
+        assert len(np.unique(np.asarray(hot_a).argmax(-1))) == 1
+
+        _, hot_n1, _ = _encode_chance(net.params, net.apply_fns, obs, 5.0, jax.random.PRNGKey(1))
+        _, hot_n2, _ = _encode_chance(net.params, net.apply_fns, obs, 5.0, jax.random.PRNGKey(2))
+        ids1 = np.asarray(hot_n1).argmax(-1)
+        ids2 = np.asarray(hot_n2).argmax(-1)
+        assert len(np.unique(np.concatenate([ids1, ids2]))) > 1
+
+    def test_loss_runs_with_noise(self):
+        net = create_network(jax.random.PRNGKey(0), hidden_size=16, num_blocks=1)
+        cfg = replace(CFG, encoder_noise_scale=1.0)
+        rs = np.random.RandomState(1)
+        k = cfg.num_unroll_steps
+        batch = TrainingTargets(
+            observations=jnp.asarray(rs.rand(2, k + 1, 16).astype(np.float32)),
+            actions=jnp.asarray(rs.randint(0, 4, (2, k))),
+            target_policies=jnp.asarray(np.full((2, k + 1, 4), 0.25, np.float32)),
+            target_values=jnp.asarray(rs.rand(2, k + 1).astype(np.float32)),
+            target_rewards=jnp.asarray(rs.rand(2, k).astype(np.float32)),
+        )
+        total, out = compute_loss(
+            net.params, net.apply_fns, batch, cfg, None, jax.random.PRNGKey(3)
+        )
+        assert np.isfinite(float(total))
