@@ -33,16 +33,40 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
 
-    def save(self, state: TrainState, step: int | None = None) -> None:
-        """Persist the full train state (``learner.py:370-393``)."""
+    def save(self, state: TrainState, step: int | None = None, buffer=None) -> None:
+        """Persist the full train state (``learner.py:370-393``).
+
+        Pass ``buffer`` (a replay ``BufferState``) to checkpoint experience
+        too — the reference never persists its buffer (SURVEY.md §5.4), so a
+        resumed reference run restarts from an empty one.
+        """
         step = int(state.step) if step is None else step
         payload = {
             "params": state.params._asdict(),
             "opt_state": jax.tree.map(np.asarray, state.opt_state),
             "step": step,
         }
-        self._manager.save(step, args=ocp.args.StandardSave(payload))
+        items = {"state": ocp.args.StandardSave(payload)}
+        if buffer is not None:
+            items["buffer"] = ocp.args.StandardSave(jax.tree.map(np.asarray, buffer._asdict()))
+        self._manager.save(step, args=ocp.args.Composite(**items))
         self._manager.wait_until_finished()
+
+    def restore_buffer(self, template, step: int | None = None):
+        """Restore a checkpointed replay buffer; None if absent."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        try:
+            restored = self._manager.restore(
+                step,
+                args=ocp.args.Composite(
+                    buffer=ocp.args.StandardRestore(template._asdict())
+                ),
+            )
+        except (KeyError, ValueError, FileNotFoundError):
+            return None
+        return type(template)(**restored["buffer"])
 
     def restore(self, template: TrainState, step: int | None = None) -> TrainState | None:
         """Restore into the shapes/dtypes of ``template``; None if empty.
@@ -59,8 +83,9 @@ class CheckpointManager:
             "step": int(template.step),
         }
         restored = self._manager.restore(
-            step, args=ocp.args.StandardRestore(template_payload)
-        )
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(template_payload)),
+        )["state"]
         return TrainState(
             params=NetworkParams(**restored["params"]),
             opt_state=jax.tree.map(

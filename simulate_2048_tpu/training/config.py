@@ -65,6 +65,7 @@ class TrainConfig:
     # Schedule.
     training_steps: int = 20_000_000
     checkpoint_interval: int = 1_000
+    checkpoint_buffer: bool = False  # persist replay experience too (reference never does)
     log_interval: int = 100
     eval_interval: int = 1_000
     eval_games: int = 10

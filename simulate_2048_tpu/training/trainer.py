@@ -93,6 +93,11 @@ class Trainer:
             if restored is not None:
                 self.state = restored
                 print(f"resumed from checkpoint at step {int(self.state.step)}")
+                if self.config.checkpoint_buffer:
+                    buf = self._ckpt.restore_buffer(self.buffer)
+                    if buf is not None:
+                        self.buffer = buf
+                        print(f"resumed replay buffer with {int(buf.size)} episodes")
 
     def fill_buffer(self, verbose: bool = True) -> None:
         """Self-play until ``min_buffer_size`` episodes (``trainer.py:156-223``)."""
@@ -125,7 +130,10 @@ class Trainer:
             # Crash-safe: always persist the latest state (the reference only
             # checkpoints on the happy path, ``trainer.py:357-359``).
             if self._ckpt is not None:
-                self._ckpt.save(self.state)
+                self._ckpt.save(
+                    self.state,
+                    buffer=self.buffer if self.config.checkpoint_buffer else None,
+                )
         return final_loss
 
     def _train_loop(self, start_step, end_step, last_log_time, last_log_step, verbose):
@@ -195,7 +203,9 @@ class Trainer:
                     )
 
             if self._ckpt is not None and step % cfg.checkpoint_interval == 0:
-                self._ckpt.save(self.state)
+                self._ckpt.save(
+                    self.state, buffer=self.buffer if cfg.checkpoint_buffer else None
+                )
 
             if step % cfg.eval_interval == 0:
                 stats = self.evaluate()
