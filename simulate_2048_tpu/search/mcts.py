@@ -47,6 +47,12 @@ class SearchConfig(NamedTuple):
     dirichlet_fraction: float = 0.1
     pb_c_init: float = 1.25
     pb_c_base: float = 19652.0
+    # Depth cap (counted in tree edges; decision→chance and chance→decision
+    # each count 1). None = unbounded, as the reference passes
+    # (``stochastic_mctx.py:227``). When a simulation hits the cap on an
+    # already-expanded edge, it backs up that child's current value instead
+    # of expanding.
+    max_depth: int | None = None
 
 
 class PolicyOutput(NamedTuple):
@@ -91,20 +97,22 @@ def _select_child(tree: Tree, node: Array, cfg: SearchConfig) -> Array:
 
 
 def _traverse(tree: Tree, cfg: SearchConfig) -> tuple[Array, Array]:
-    """Walk from the root until an unexpanded edge; returns (parent, edge)."""
+    """Walk from the root until an unexpanded edge (or the depth cap);
+    returns (parent, edge)."""
+    max_depth = cfg.max_depth if cfg.max_depth is not None else cfg.num_simulations + 1
 
     def cond(state):
-        _, _, next_node = state
-        return next_node != UNVISITED
+        _, _, next_node, depth = state
+        return (next_node != UNVISITED) & (depth < max_depth)
 
     def body(state):
-        _, _, node = state
+        _, _, node, depth = state
         action = _select_child(tree, node, cfg)
-        return node, action, tree.children_index[node, action]
+        return node, action, tree.children_index[node, action], depth + 1
 
     action0 = _select_child(tree, ROOT, cfg)
-    state = (ROOT, action0, tree.children_index[ROOT, action0])
-    parent, action, _ = jax.lax.while_loop(cond, body, state)
+    state = (ROOT, action0, tree.children_index[ROOT, action0], jnp.int32(1))
+    parent, action, _, _ = jax.lax.while_loop(cond, body, state)
     return parent, action
 
 
@@ -161,6 +169,9 @@ def _expand_and_backup(
     """One simulation's expansion: evaluate both transition types at the
     selected frontier edge, install the correct child, back up its value."""
     parent, edge = _traverse(tree, cfg)
+    existing_child = tree.children_index[parent, edge]
+    # False only when the depth cap stopped traversal on an expanded edge.
+    needs_expand = existing_child == UNVISITED
     parent_emb = tree.embedding[parent]
     parent_is_dec = tree.is_decision[parent]
     k = tree.prior_probs.shape[-1]
@@ -181,7 +192,7 @@ def _expand_and_backup(
 
     embedding_new = jnp.where(parent_is_dec, afterstate, hidden)
     prior_new = jnp.where(parent_is_dec, pad_probs(chance_logits), pad_probs(action_logits))
-    leaf_value = jnp.where(parent_is_dec, q_value, value)
+    model_value = jnp.where(parent_is_dec, q_value, value)
     edge_reward = jnp.where(parent_is_dec, 0.0, reward)
     edge_discount = jnp.where(parent_is_dec, 1.0, cfg.discount)
 
@@ -189,13 +200,26 @@ def _expand_and_backup(
         embedding=tree.embedding.at[new_index].set(embedding_new),
         is_decision=tree.is_decision.at[new_index].set(~parent_is_dec),
         prior_probs=tree.prior_probs.at[new_index].set(prior_new),
-        children_index=tree.children_index.at[parent, edge].set(new_index),
-        children_reward=tree.children_reward.at[parent, edge].set(edge_reward),
-        children_discount=tree.children_discount.at[parent, edge].set(edge_discount),
-        parent_index=tree.parent_index.at[new_index].set(parent),
-        action_from_parent=tree.action_from_parent.at[new_index].set(edge),
+        children_index=tree.children_index.at[parent, edge].set(
+            jnp.where(needs_expand, new_index, existing_child)
+        ),
+        children_reward=tree.children_reward.at[parent, edge].set(
+            jnp.where(needs_expand, edge_reward, tree.children_reward[parent, edge])
+        ),
+        children_discount=tree.children_discount.at[parent, edge].set(
+            jnp.where(needs_expand, edge_discount, tree.children_discount[parent, edge])
+        ),
+        parent_index=tree.parent_index.at[new_index].set(
+            jnp.where(needs_expand, parent, UNVISITED)
+        ),
+        action_from_parent=tree.action_from_parent.at[new_index].set(
+            jnp.where(needs_expand, edge, UNVISITED)
+        ),
     )
-    return _backup(tree, new_index, leaf_value)
+    # Depth-capped simulations re-back-up the existing child's current value.
+    leaf = jnp.where(needs_expand, new_index, existing_child)
+    leaf_value = jnp.where(needs_expand, model_value, tree.node_value[jnp.maximum(existing_child, 0)])
+    return _backup(tree, leaf, leaf_value)
 
 
 def _search_single(

@@ -186,3 +186,23 @@ class TestEnvClass:
             if done:
                 break
         assert env.is_finished
+
+
+class TestVariableBoardSize:
+    """The scalar engine (like the reference) supports arbitrary sizes."""
+
+    def test_size_6_env_plays(self):
+        env = TwentyFortyEight(size=6)
+        obs = env.reset(seed=3)
+        assert obs.shape == (6, 6) and (obs != 0).sum() == 2
+        rng = np.random.default_rng(1)
+        for _ in range(200):
+            _, _, done = env.step(int(rng.integers(4)))
+            if done:
+                break
+        assert env._current_state.shape == (6, 6)
+
+    def test_size_3_merge_rules_hold(self):
+        board = np.array([[2, 2, 2], [0, 0, 0], [0, 0, 0]])
+        score, out = slide_and_merge(board)
+        assert score == 4 and out[0].tolist() == [4, 2, 0]

@@ -182,3 +182,21 @@ class TestPolicyExtraction:
         assert temperature_schedule(50, sched) == 1.0
         assert temperature_schedule(150, sched) == 0.5
         assert temperature_schedule(250, sched) == 0.0
+
+
+class TestMaxDepth:
+    def test_depth_capped_search_backs_up_existing_children(self):
+        cfg = CFG._replace(num_simulations=16, max_depth=1)
+        out = run_mcts(MOCK_PARAMS, mock_apply_fns(), jnp.zeros(16), jax.random.PRNGKey(0), cfg)
+        # Only the root's A=4 chance children can ever be expanded; the other
+        # 12 simulations hit the cap and re-back-up — visits still total 16.
+        assert int(jnp.sum(out.visit_counts)) == 16
+        counts = np.asarray(out.visit_counts)
+        assert (counts > 0).sum() == 4
+
+    def test_unbounded_matches_default(self):
+        cfg_none = CFG._replace(num_simulations=12, max_depth=None)
+        cfg_huge = CFG._replace(num_simulations=12, max_depth=1000)
+        a = run_mcts(MOCK_PARAMS, mock_apply_fns(), jnp.zeros(16), jax.random.PRNGKey(0), cfg_none)
+        b = run_mcts(MOCK_PARAMS, mock_apply_fns(), jnp.zeros(16), jax.random.PRNGKey(0), cfg_huge)
+        np.testing.assert_array_equal(np.asarray(a.visit_counts), np.asarray(b.visit_counts))
