@@ -98,8 +98,15 @@ def trajectory_priority(traj: Trajectory) -> Array:
 @jax.jit
 def add_trajectories(state: BufferState, traj: Trajectory) -> BufferState:
     """Circular insert of a batch of episodes (``replay_buffer.py:106-128``)."""
+    import chex
+
     batch = traj.length.shape[0]
     cap = state.priorities.shape[0]
+    t = state.actions.shape[1]
+    chex.assert_shape(traj.boards, (batch, t + 1, 16))
+    chex.assert_shape(traj.actions, (batch, t))
+    chex.assert_shape(traj.policies, (batch, t, state.policies.shape[-1]))
+    chex.assert_type(traj.boards, jnp.int8)
     idx = (state.write_pos + jnp.arange(batch)) % cap
     prios = trajectory_priority(traj)
     return state._replace(

@@ -106,3 +106,29 @@ def test_jit_step_and_vmap_consistency():
     s_vmap, r_vmap, d_vmap, _ = jax.jit(jax.vmap(step))(state, actions)
     np.testing.assert_array_equal(np.asarray(s_direct.board), np.asarray(s_vmap.board))
     np.testing.assert_allclose(np.asarray(r_direct), np.asarray(r_vmap))
+
+
+class TestRolloutDrivers:
+    def test_random_rollout_stats(self):
+        from simulate_2048_tpu.ops.rollout import random_rollout
+
+        stats = random_rollout(jnp.uint32(3), 64, 32)
+        assert int(stats.steps) == 64 * 32
+        assert float(stats.total_reward) > 0
+        assert int(stats.max_tile) >= 8
+        # Deterministic in the run seed.
+        stats2 = random_rollout(jnp.uint32(3), 64, 32)
+        assert int(stats2.episodes_finished) == int(stats.episodes_finished)
+        assert float(stats2.total_reward) == float(stats.total_reward)
+
+    def test_policy_rollout_shapes(self):
+        from simulate_2048_tpu.ops.rollout import policy_rollout
+
+        state = reset_batch(1, 8)
+        policy_fn = lambda obs, legal, key: jnp.full((8, 4), 0.25)
+        final, (obs, actions, rewards, dones, probs) = jax.jit(
+            lambda s, k: policy_rollout(s, policy_fn, 6, 1.0, k)
+        )(state, jax.random.PRNGKey(0))
+        assert obs.shape == (6, 8, 16)
+        assert actions.shape == (6, 8)
+        assert probs.shape == (6, 8, 4)
