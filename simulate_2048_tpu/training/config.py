@@ -97,6 +97,11 @@ class TrainConfig:
     # reference defines but never calls (``self_play.py:524-579``).
     value_target_mode: str = "search"
 
+    # Codebook-usage entropy bonus: total loss subtracts
+    # codebook_entropy_weight * H(batch-mean encoder distribution).
+    # 0 = paper-faithful; > 0 fights majority-code collapse.
+    codebook_entropy_weight: float = 0.0
+
     # Anti-collapse exploration for the VQ-VAE encoder: scale of Gumbel noise
     # added to encoder logits when picking the (stop-gradient) chance-code
     # target during training. 0 = paper-faithful deterministic argmax, which

@@ -30,7 +30,7 @@ Array = jax.Array
 
 
 class LossOutput(NamedTuple):
-    """Loss breakdown (``losses.py:27-36``)."""
+    """Loss breakdown (``losses.py:27-36`` + codebook-entropy diagnostic)."""
 
     total_loss: Array
     policy_loss: Array
@@ -38,6 +38,7 @@ class LossOutput(NamedTuple):
     reward_loss: Array
     chance_loss: Array
     commitment_loss: Array
+    codebook_entropy: Array
 
 
 class TrainingTargets(NamedTuple):
@@ -197,19 +198,36 @@ def compute_loss(
         (_, tot_p, tot_v, tot_r, tot_c, tot_commit), _ = lax.scan(
             unroll_step, init, jnp.arange(k_steps)
         )
-        return LossOutput(
-            total_loss=jnp.float32(0),
-            policy_loss=tot_p / (k_steps + 1),
-            value_loss=tot_v / (k_steps + 1),
-            reward_loss=tot_r / k_steps,
-            chance_loss=tot_c / k_steps,
-            commitment_loss=tot_commit / k_steps,
+        if use_encoder:
+            # Mean soft code usage over the window (for the entropy bonus).
+            usage = jnp.mean(
+                apply_fns.encoder(params.encoder, sample.observations[1:], deterministic=False),
+                axis=0,
+            )
+        else:
+            usage = jnp.zeros((config.codebook_size,))
+        return (
+            LossOutput(
+                total_loss=jnp.float32(0),
+                policy_loss=tot_p / (k_steps + 1),
+                value_loss=tot_v / (k_steps + 1),
+                reward_loss=tot_r / k_steps,
+                chance_loss=tot_c / k_steps,
+                commitment_loss=tot_commit / k_steps,
+                codebook_entropy=jnp.float32(0),
+            ),
+            usage,
         )
 
     if sample_keys is None:
-        batch_losses = jax.vmap(lambda s: single_sample_loss(s, None))(batch)
+        batch_losses, usages = jax.vmap(lambda s: single_sample_loss(s, None))(batch)
     else:
-        batch_losses = jax.vmap(single_sample_loss)(batch, sample_keys)
+        batch_losses, usages = jax.vmap(single_sample_loss)(batch, sample_keys)
+
+    # Batch-level codebook usage entropy: H(mean soft code distribution).
+    # Maximizing it fights the majority-code collapse (docs/project.md).
+    usage = jnp.mean(usages, axis=0)
+    codebook_entropy = -jnp.sum(usage * jnp.log(usage + 1e-12))
 
     if weights is not None:
         w = weights / jnp.sum(weights) * weights.shape[0]
@@ -233,5 +251,8 @@ def compute_loss(
         + config.reward_loss_weight * mean_r
         + config.chance_loss_weight * mean_c
         + config.commitment_loss_weight * mean_commit
+        - config.codebook_entropy_weight * codebook_entropy
     )
-    return total, LossOutput(total, mean_p, mean_v, mean_r, mean_c, mean_commit)
+    return total, LossOutput(
+        total, mean_p, mean_v, mean_r, mean_c, mean_commit, codebook_entropy
+    )

@@ -190,6 +190,7 @@ class Trainer:
                     "reward_loss": float(loss_output.reward_loss),
                     "chance_loss": float(loss_output.chance_loss),
                     "commitment_loss": float(loss_output.commitment_loss),
+                    "codebook_entropy": float(loss_output.codebook_entropy),
                     "steps_per_s": sps,
                     "buffer_size": int(self.buffer.size),
                 }
