@@ -22,6 +22,14 @@ def main() -> None:
     parser.add_argument("--boards", type=int, default=256)
     parser.add_argument("--sims", type=int, default=64)
     parser.add_argument("--mode", choices=["tiny", "small", "full"], default="small")
+    parser.add_argument(
+        "--trace",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler device trace of one search batch into DIR "
+        "(the TPU-native analogue of the reference's cProfile harness, "
+        "scripts/profile_mcts.py)",
+    )
     args = parser.parse_args()
 
     from simulate_2048_tpu.utils.platform import enable_compile_cache, respect_env_platforms
@@ -63,6 +71,13 @@ def main() -> None:
         lambda o, k: batched_run_mcts(network.params, network.apply_fns, o, k, search_cfg)
     )
     stats = time_fn(lambda: run(obs, keys).action_weights, warmup=1, reps=5)
+
+    if args.trace:
+        from simulate_2048_tpu.utils.profiling import trace
+
+        with trace(args.trace):
+            jax.block_until_ready(run(obs, keys).action_weights)
+        print(f"trace written to {args.trace} (view in TensorBoard / perfetto)", file=sys.stderr)
 
     searches_per_s = args.boards / (stats["best_ms"] / 1e3)
     result = {
