@@ -80,9 +80,16 @@ def _select_child(tree: Tree, node: Array, cfg: SearchConfig) -> Array:
     child_visits = tree.children_visits[node]
     is_dec = tree.is_decision[node]
 
-    # PUCT score (decision nodes)
+    # PUCT score (decision nodes). Inlined min-max Q normalization
+    # (tree_lib.qtransform_by_parent_and_siblings) so each stats row is
+    # gathered exactly once per traversal step.
     parent_visits = tree.node_visit[node]
-    qt = tree_lib.qtransform_by_parent_and_siblings(tree, node)
+    parent_value = tree.node_value[node]
+    q = tree.children_values[node]
+    completed = jnp.where(child_visits > 0, q, parent_value)
+    lo = jnp.minimum(jnp.min(completed), parent_value)
+    hi = jnp.maximum(jnp.max(completed), parent_value)
+    qt = (completed - lo) / jnp.maximum(hi - lo, 1e-8)
     pb_c = cfg.pb_c_init + jnp.log((parent_visits + cfg.pb_c_base + 1.0) / cfg.pb_c_base)
     puct = qt + pb_c * prior * jnp.sqrt(jnp.maximum(parent_visits, 1)) / (1.0 + child_visits)
 
@@ -96,67 +103,121 @@ def _select_child(tree: Tree, node: Array, cfg: SearchConfig) -> Array:
     return jnp.argmax(jnp.where(prior > 0, score, NEG_INF)).astype(jnp.int32)
 
 
-def _traverse(tree: Tree, cfg: SearchConfig) -> tuple[Array, Array]:
-    """Walk from the root until an unexpanded edge (or the depth cap);
-    returns (parent, edge)."""
+def _traverse(tree: Tree, cfg: SearchConfig) -> tuple[Array, Array, Array, Array, Array]:
+    """Walk from the root until an unexpanded edge (or the depth cap).
+
+    Records the (node, edge) pairs visited into fixed-size path arrays so the
+    backup can replay the path without parent-pointer gathers. Returns
+    ``(parent, edge, depth, path_nodes, path_edges)`` where
+    ``path_nodes[i], path_edges[i]`` for ``i < depth`` are the traversed
+    pairs, ``path_nodes[depth-1] == parent`` and ``path_edges[depth-1] ==
+    edge``.
+    """
     max_depth = cfg.max_depth if cfg.max_depth is not None else cfg.num_simulations + 1
 
     def cond(state):
-        _, _, next_node, depth = state
+        _, _, next_node, depth, _, _ = state
         return (next_node != UNVISITED) & (depth < max_depth)
 
     def body(state):
-        _, _, node, depth = state
+        _, _, node, depth, nodes, edges = state
         action = _select_child(tree, node, cfg)
-        return node, action, tree.children_index[node, action], depth + 1
+        nodes = nodes.at[depth].set(node)
+        edges = edges.at[depth].set(action)
+        return node, action, tree.children_index[node, action], depth + 1, nodes, edges
 
     action0 = _select_child(tree, ROOT, cfg)
-    state = (ROOT, action0, tree.children_index[ROOT, action0], jnp.int32(1))
-    parent, action, _, _ = jax.lax.while_loop(cond, body, state)
-    return parent, action
+    nodes0 = jnp.zeros((max_depth,), jnp.int32).at[0].set(ROOT)
+    edges0 = jnp.zeros((max_depth,), jnp.int32).at[0].set(action0)
+    state = (ROOT, action0, tree.children_index[ROOT, action0], jnp.int32(1), nodes0, edges0)
+    parent, action, _, depth, nodes, edges = jax.lax.while_loop(cond, body, state)
+    return parent, action, depth, nodes, edges
 
 
-def _backup(tree: Tree, leaf: Array, leaf_value: Array) -> Tree:
-    """Propagate ``leaf_value`` from ``leaf`` to the root.
+def _backup(
+    tree: Tree,
+    path_nodes: Array,
+    path_edges: Array,
+    depth: Array,
+    leaf: Array,
+    leaf_value: Array,
+) -> Tree:
+    """Propagate ``leaf_value`` along the recorded root→leaf path — vectorized.
 
-    Updates each path node's running-mean value/visit AND the dense edge
-    statistics of its parent edge (children_visits / children_values =
-    r + γ·V(child)), keeping selection gather-free."""
+    Instead of a sequential while-loop of one-scatter-per-node (one parent
+    gather + 4 scatters per path step), the whole backup is a handful of
+    vectorized ops: the per-node backed-up values v_i = r_i + γ_i·v_{i+1}
+    are computed in closed form via prefix products/sums
+    (u_i = Π_i·v_i ⇒ u_i = Σ_{j≥i} Π_j·r_j + Π_depth·leaf_value), then the
+    node statistics (running-mean value, visit counts) and the dense edge
+    statistics (children_visits / children_values = r + γ·V(child)) are each
+    updated with ONE masked scatter. Path nodes are distinct (it's a tree
+    path) so the scatters have no collisions; padded slots use out-of-bounds
+    indices with ``mode="drop"``.
+    """
+    p = path_nodes.shape[0]
+    ncap = tree.node_value.shape[0]
+    k = tree.prior_probs.shape[-1]
+    valid = jnp.arange(p) < depth
 
-    def cond(state):
-        idx, _, _ = state
-        return idx != UNVISITED
+    # One-hot path masks (iota compares — no indexed memory ops). XLA gathers
+    # and scatters are serialized element loops on TPU (measured ~0.5-0.8 ms
+    # per (B, P)-indexed op at B=1024); these dense (P, N)/(P, K) masks turn
+    # every read and write below into small matmuls that ride the MXU instead.
+    u_path = ((path_nodes[:, None] == jnp.arange(ncap)[None, :]) & valid[:, None]).astype(
+        jnp.float32
+    )  # (P, N)
+    w_path = ((path_edges[:, None] == jnp.arange(k)[None, :]) & valid[:, None]).astype(
+        jnp.float32
+    )  # (P, K)
 
-    def body(state):
-        idx, v, tree = state
-        visit = tree.node_visit[idx]
-        value = tree.node_value[idx]
-        new_value = (value * visit + v) / (visit + 1.0)
-        parent = tree.parent_index[idx]
-        edge = tree.action_from_parent[idx]
-        safe_p, safe_e = jnp.maximum(parent, 0), jnp.maximum(edge, 0)
-        edge_r = tree.children_reward[safe_p, safe_e]
-        edge_d = tree.children_discount[safe_p, safe_e]
-        has_parent = parent >= 0
-        tree = tree._replace(
-            node_value=tree.node_value.at[idx].set(new_value),
-            node_visit=tree.node_visit.at[idx].add(1),
-            children_visits=tree.children_visits.at[safe_p, safe_e].add(
-                jnp.where(has_parent, 1, 0)
-            ),
-            children_values=tree.children_values.at[safe_p, safe_e].set(
-                jnp.where(
-                    has_parent,
-                    edge_r + edge_d * new_value,
-                    tree.children_values[safe_p, safe_e],
-                )
-            ),
-        )
-        v = edge_r + edge_d * v
-        return parent, v, tree
+    # Edge rewards/discounts along the path, as one-hot contractions.
+    r = jnp.einsum("pn,nk,pk->p", u_path, tree.children_reward, w_path)
+    d = jnp.where(valid, jnp.einsum("pn,nk,pk->p", u_path, tree.children_discount, w_path), 1.0)
 
-    _, _, tree = jax.lax.while_loop(cond, body, (leaf, leaf_value, tree))
-    return tree
+    # v_i = r_i + d_i·v_{i+1}, v_depth = leaf_value. With Π_i = Π_{k<i} d_k:
+    # u_i = Π_i·v_i = Σ_{j=i}^{depth-1} Π_j·r_j + Π_depth·leaf_value.
+    prods = jnp.concatenate([jnp.ones((1,)), jnp.cumprod(d)])  # (p+1,) Π_i
+    weighted_r = prods[:p] * r
+    csum = jnp.cumsum(weighted_r)
+    total = csum[-1]
+    prefix_excl = csum - weighted_r  # Σ_{j<i} Π_j·r_j
+    u = (total - prefix_excl) + prods[depth] * leaf_value
+    v = u / prods[:p]  # value backed into path_nodes[i]
+
+    # Node stats: path nodes at positions 0..depth-1, the leaf AT position
+    # depth (so pair i's child is exactly position i+1), rest masked out.
+    pos = jnp.arange(p + 1)
+    nodes_ext = jnp.concatenate([path_nodes, jnp.zeros((1,), jnp.int32)])
+    v_ext = jnp.concatenate([v, jnp.zeros((1,))])
+    upd_nodes = jnp.where(pos < depth, nodes_ext, jnp.where(pos == depth, leaf, ncap))
+    upd_v = jnp.where(pos < depth, v_ext, jnp.where(pos == depth, leaf_value, 0.0))
+    u_upd = (upd_nodes[:, None] == jnp.arange(ncap)[None, :]).astype(jnp.float32)  # (P+1, N)
+
+    # Per-position old stats (matvec reads) → per-position new running means.
+    visit_at = u_upd @ tree.node_visit.astype(jnp.float32)  # (P+1,)
+    value_at = u_upd @ tree.node_value
+    new_value = (value_at * visit_at + upd_v) / (visit_at + 1.0)
+
+    # Dense writes: each path node/edge is hit at most once (tree path), so a
+    # one-hot sum both selects and carries the new value.
+    node_hit = u_upd.T @ jnp.ones((p + 1,))  # (N,) 0/1
+    node_new = u_upd.T @ new_value
+    new_node_value = jnp.where(node_hit > 0, node_new, tree.node_value)
+    new_node_visit = tree.node_visit + node_hit.astype(jnp.int32)
+
+    # Edge stats: pair i's child sits at path position i+1 (position depth =
+    # leaf), so its fresh value is new_value[i+1].
+    edge_q = r + d * new_value[1:]
+    edge_hit = jnp.einsum("pn,pk->nk", u_path, w_path)  # (N, K) 0/1
+    edge_new = jnp.einsum("pn,pk->nk", u_path, w_path * edge_q[:, None])
+
+    return tree._replace(
+        node_value=new_node_value,
+        node_visit=new_node_visit,
+        children_visits=tree.children_visits + edge_hit.astype(jnp.int32),
+        children_values=jnp.where(edge_hit > 0, edge_new, tree.children_values),
+    )
 
 
 def _expand_and_backup(
@@ -168,7 +229,7 @@ def _expand_and_backup(
 ) -> Tree:
     """One simulation's expansion: evaluate both transition types at the
     selected frontier edge, install the correct child, back up its value."""
-    parent, edge = _traverse(tree, cfg)
+    parent, edge, depth, path_nodes, path_edges = _traverse(tree, cfg)
     existing_child = tree.children_index[parent, edge]
     # False only when the depth cap stopped traversal on an expanded edge.
     needs_expand = existing_child == UNVISITED
@@ -219,7 +280,7 @@ def _expand_and_backup(
     # Depth-capped simulations re-back-up the existing child's current value.
     leaf = jnp.where(needs_expand, new_index, existing_child)
     leaf_value = jnp.where(needs_expand, model_value, tree.node_value[jnp.maximum(existing_child, 0)])
-    return _backup(tree, leaf, leaf_value)
+    return _backup(tree, path_nodes, path_edges, depth, leaf, leaf_value)
 
 
 def _search_single(

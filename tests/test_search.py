@@ -200,3 +200,61 @@ class TestMaxDepth:
         a = run_mcts(MOCK_PARAMS, mock_apply_fns(), jnp.zeros(16), jax.random.PRNGKey(0), cfg_none)
         b = run_mcts(MOCK_PARAMS, mock_apply_fns(), jnp.zeros(16), jax.random.PRNGKey(0), cfg_huge)
         np.testing.assert_array_equal(np.asarray(a.visit_counts), np.asarray(b.visit_counts))
+
+
+class TestTreeInvariants:
+    """Structural invariants of the array tree after a full search, checked
+    on the raw tree (catches backup/expansion bookkeeping bugs that the
+    policy-output tests can miss — e.g. misaligned edge-Q scatter targets)."""
+
+    def _final_tree(self, sims=24, seed=3):
+        from simulate_2048_tpu.search import mcts as mcts_lib
+        from simulate_2048_tpu.search import tree as tree_lib
+
+        fns = mock_apply_fns(
+            q_per_action=(0.3, -0.1, 0.2, 0.0), reward_per_outcome=0.5, leaf_value=0.25
+        )
+        cfg = CFG._replace(num_simulations=sims)
+        key = jax.random.PRNGKey(seed)
+        hidden = fns.representation({}, jnp.zeros(16))
+        logits, value = fns.prediction({}, hidden)
+        tree = tree_lib.init_tree(
+            sims + 1, max(A, C), H, hidden, jax.nn.softmax(logits), value
+        )
+        for s in range(sims):
+            tree = mcts_lib._expand_and_backup(tree, jnp.int32(s + 1), MOCK_PARAMS, fns, cfg)
+        return jax.tree.map(np.asarray, tree), cfg
+
+    def test_edge_stats_mirror_child_nodes(self):
+        tree, cfg = self._final_tree()
+        n = tree.node_value.shape[0]
+        for parent in range(n):
+            for slot in range(tree.children_index.shape[1]):
+                child = tree.children_index[parent, slot]
+                if child < 0:
+                    continue
+                # dense edge visits == child node visits
+                assert tree.children_visits[parent, slot] == tree.node_visit[child]
+                # dense edge Q == r + gamma * V(child), refreshed by backup
+                expected = tree.children_reward[parent, slot] + tree.children_discount[
+                    parent, slot
+                ] * tree.node_value[child]
+                np.testing.assert_allclose(
+                    tree.children_values[parent, slot], expected, rtol=1e-5, atol=1e-6
+                )
+                # parent pointers are consistent
+                assert tree.parent_index[child] == parent
+                assert tree.action_from_parent[child] == slot
+
+    def test_visit_conservation(self):
+        tree, cfg = self._final_tree()
+        # root absorbs every simulation + its initial visit
+        assert tree.node_visit[0] == cfg.num_simulations + 1
+        # each non-root node's visits = 1 (own expansion backup) + children visits
+        for node in range(tree.node_value.shape[0]):
+            kids = tree.children_index[node]
+            kid_visits = sum(
+                tree.node_visit[c] for c in kids[kids >= 0]
+            )
+            if tree.node_visit[node] > 0:
+                assert tree.node_visit[node] == 1 + kid_visits
