@@ -171,9 +171,19 @@ def _backup(
         jnp.float32
     )  # (P, K)
 
-    # Edge rewards/discounts along the path, as one-hot contractions.
-    r = jnp.einsum("pn,nk,pk->p", u_path, tree.children_reward, w_path)
-    d = jnp.where(valid, jnp.einsum("pn,nk,pk->p", u_path, tree.children_discount, w_path), 1.0)
+    # Path node one-hots: path nodes at positions 0..depth-1, the leaf AT
+    # position depth (so pair i's child is exactly position i+1), rest masked
+    # out via an out-of-range index that matches nothing.
+    pos = jnp.arange(p + 1)
+    nodes_ext = jnp.concatenate([path_nodes, jnp.zeros((1,), jnp.int32)])
+    upd_nodes = jnp.where(pos < depth, nodes_ext, jnp.where(pos == depth, leaf, ncap))
+    u_upd = (upd_nodes[:, None] == jnp.arange(ncap)[None, :]).astype(jnp.float32)  # (P+1, N)
+
+    # Edge rewards/discounts along the path: pair i's edge leads INTO the
+    # node at position i+1, whose incoming-edge r/γ are stored per node —
+    # two (P+1, N)·(N,) matvecs instead of full-table contractions.
+    r = (u_upd @ tree.node_reward)[1:]
+    d = jnp.where(valid, (u_upd @ tree.node_discount)[1:], 1.0)
 
     # v_i = r_i + d_i·v_{i+1}, v_depth = leaf_value. With Π_i = Π_{k<i} d_k:
     # u_i = Π_i·v_i = Σ_{j=i}^{depth-1} Π_j·r_j + Π_depth·leaf_value.
@@ -185,14 +195,8 @@ def _backup(
     u = (total - prefix_excl) + prods[depth] * leaf_value
     v = u / prods[:p]  # value backed into path_nodes[i]
 
-    # Node stats: path nodes at positions 0..depth-1, the leaf AT position
-    # depth (so pair i's child is exactly position i+1), rest masked out.
-    pos = jnp.arange(p + 1)
-    nodes_ext = jnp.concatenate([path_nodes, jnp.zeros((1,), jnp.int32)])
     v_ext = jnp.concatenate([v, jnp.zeros((1,))])
-    upd_nodes = jnp.where(pos < depth, nodes_ext, jnp.where(pos == depth, leaf, ncap))
     upd_v = jnp.where(pos < depth, v_ext, jnp.where(pos == depth, leaf_value, 0.0))
-    u_upd = (upd_nodes[:, None] == jnp.arange(ncap)[None, :]).astype(jnp.float32)  # (P+1, N)
 
     # Per-position old stats (matvec reads) → per-position new running means.
     visit_at = u_upd @ tree.node_visit.astype(jnp.float32)  # (P+1,)
@@ -264,12 +268,11 @@ def _expand_and_backup(
         children_index=tree.children_index.at[parent, edge].set(
             jnp.where(needs_expand, new_index, existing_child)
         ),
-        children_reward=tree.children_reward.at[parent, edge].set(
-            jnp.where(needs_expand, edge_reward, tree.children_reward[parent, edge])
-        ),
-        children_discount=tree.children_discount.at[parent, edge].set(
-            jnp.where(needs_expand, edge_discount, tree.children_discount[parent, edge])
-        ),
+        # Slot new_index is unreachable when the depth cap skipped expansion
+        # (no children_index entry ever points at it), so the unconditional
+        # writes below are harmless then — same convention as embedding/prior.
+        node_reward=tree.node_reward.at[new_index].set(edge_reward),
+        node_discount=tree.node_discount.at[new_index].set(edge_discount),
         parent_index=tree.parent_index.at[new_index].set(
             jnp.where(needs_expand, parent, UNVISITED)
         ),

@@ -47,8 +47,12 @@ class Tree(NamedTuple):
     children_index: Array  # (N, K) i32, UNVISITED where unexpanded
     children_visits: Array  # (N, K) i32 — dense copy of child visit counts
     children_values: Array  # (N, K) f32 — Q(edge) = r + γ·V(child), refreshed in backup
-    children_reward: Array  # (N, K) f32 edge rewards
-    children_discount: Array  # (N, K) f32 edge discounts
+    # Each node has exactly one parent edge, so that edge's reward/discount
+    # are stored per CHILD node as (N,) vectors rather than (N, K) tables —
+    # backup reads them with a tiny matvec instead of a full-table
+    # contraction, and two 8.5 MB loop-carried buffers disappear.
+    node_reward: Array  # (N,) f32 reward on the edge INTO this node
+    node_discount: Array  # (N,) f32 discount on the edge INTO this node
     parent_index: Array  # (N,) i32
     action_from_parent: Array  # (N,) i32
 
@@ -78,8 +82,8 @@ def init_tree(
         children_index=jnp.full((n, k), UNVISITED, jnp.int32),
         children_visits=jnp.zeros((n, k), jnp.int32),
         children_values=jnp.zeros((n, k), jnp.float32),
-        children_reward=jnp.zeros((n, k), jnp.float32),
-        children_discount=jnp.zeros((n, k), jnp.float32),
+        node_reward=jnp.zeros((n,), jnp.float32),
+        node_discount=jnp.ones((n,), jnp.float32),
         parent_index=jnp.full((n,), UNVISITED, jnp.int32),
         action_from_parent=jnp.full((n,), UNVISITED, jnp.int32),
     )

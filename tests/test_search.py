@@ -236,8 +236,8 @@ class TestTreeInvariants:
                 # dense edge visits == child node visits
                 assert tree.children_visits[parent, slot] == tree.node_visit[child]
                 # dense edge Q == r + gamma * V(child), refreshed by backup
-                expected = tree.children_reward[parent, slot] + tree.children_discount[
-                    parent, slot
+                expected = tree.node_reward[child] + tree.node_discount[
+                    child
                 ] * tree.node_value[child]
                 np.testing.assert_allclose(
                     tree.children_values[parent, slot], expected, rtol=1e-5, atol=1e-6
