@@ -211,10 +211,13 @@ def _backup(
     new_node_visit = tree.node_visit + node_hit.astype(jnp.int32)
 
     # Edge stats: pair i's child sits at path position i+1 (position depth =
-    # leaf), so its fresh value is new_value[i+1].
+    # leaf), so its fresh value is new_value[i+1]. One fused dot computes the
+    # hit mask and the new Q values side by side (concat along K).
     edge_q = r + d * new_value[1:]
-    edge_hit = jnp.einsum("pn,pk->nk", u_path, w_path)  # (N, K) 0/1
-    edge_new = jnp.einsum("pn,pk->nk", u_path, w_path * edge_q[:, None])
+    w_cat = jnp.concatenate([w_path, w_path * edge_q[:, None]], axis=1)  # (P, 2K)
+    out_cat = jnp.einsum("pn,pm->nm", u_path, w_cat)  # (N, 2K)
+    edge_hit = out_cat[:, :k]
+    edge_new = out_cat[:, k:]
 
     return tree._replace(
         node_value=new_node_value,
