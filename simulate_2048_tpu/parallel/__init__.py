@@ -1,5 +1,7 @@
-"""Device-mesh parallelism: sharding helpers, DP learner, multi-host runtime."""
+"""Device-mesh parallelism: sharding helpers, DP learner, multi-host runtime,
+async actor/learner process split."""
 
+from simulate_2048_tpu.parallel.actor_learner import ActorClient, LearnerServer
 from simulate_2048_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -9,6 +11,8 @@ from simulate_2048_tpu.parallel.mesh import (
 from simulate_2048_tpu.parallel.dp import make_dp_train_step, make_sharded_rollout
 
 __all__ = [
+    "ActorClient",
+    "LearnerServer",
     "batch_sharding",
     "make_dp_train_step",
     "make_mesh",

@@ -1,0 +1,308 @@
+"""Asynchronous actor/learner runtime: separate processes, overlapped work.
+
+The paper trained 2048 with **1 learner TPU + 4 actor TPUs** (PDF App. G);
+the reference never implemented any process split — its self-play and
+optimization interleave serially in one host loop
+(``reinforce/training/trainer.py:279-343``). This module makes the split
+real, Sebulba-style:
+
+- **Actor processes** own their devices, run the fully-jitted self-play
+  generator (`training/self_play.py`), and stream finished trajectory
+  batches to the learner.
+- **The learner process** inserts arriving trajectories into its
+  device-resident replay buffer, optimizes continuously (its chip never
+  waits on generation), and publishes refreshed parameters that actors pull
+  between generations.
+
+Transport is a length-prefixed pickle channel over TCP — the host-side
+counterpart of the global-SPMD path in ``parallel/dp.py`` /
+``scripts/multihost_demo.py`` (where every process joins one jit program).
+Use that path for synchronous data parallelism; use this one when
+generation and optimization should overlap in wall-clock on disjoint
+devices. The channel carries numpy pytrees between co-scheduled processes
+of one job (same trust domain as any in-cluster RPC); do not expose the
+port beyond the cluster.
+"""
+
+from __future__ import annotations
+
+import pickle
+import queue
+import socket
+import struct
+import threading
+import time
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from simulate_2048_tpu.models import create_network
+from simulate_2048_tpu.training import replay as replay_lib
+from simulate_2048_tpu.training.config import TrainConfig
+from simulate_2048_tpu.training.self_play import generate_games
+from simulate_2048_tpu.training.trainer import Trainer
+
+__all__ = ["LearnerServer", "ActorClient", "connect_with_retry"]
+
+_LEN = struct.Struct("!Q")
+
+
+# ---------------------------------------------------------------------------
+# framing
+
+
+def _send_msg(sock: socket.socket, obj: Any) -> None:
+    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    sock.sendall(_LEN.pack(len(data)) + data)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_msg(sock: socket.socket) -> Any | None:
+    header = _recv_exact(sock, _LEN.size)
+    if header is None:
+        return None
+    body = _recv_exact(sock, _LEN.unpack(header)[0])
+    if body is None:
+        return None
+    return pickle.loads(body)
+
+
+def _to_numpy(tree: Any) -> Any:
+    return jax.tree.map(np.asarray, tree)
+
+
+def connect_with_retry(address: tuple[str, int], timeout_s: float = 30.0) -> socket.socket:
+    """Dial the learner, retrying while it boots."""
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            return socket.create_connection(address)
+        except OSError:
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(0.2)
+
+
+# ---------------------------------------------------------------------------
+# learner side
+
+
+class LearnerServer:
+    """Wraps a :class:`Trainer` whose self-play is outsourced to actors.
+
+    The server thread accepts actor connections; each connection thread
+    enqueues arriving trajectory batches and answers parameter pulls with
+    the most recently published snapshot. The training loop (`run`) drains
+    the queue into the replay buffer between optimization steps — the
+    learner itself never generates games.
+    """
+
+    def __init__(
+        self,
+        trainer: Trainer,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        param_sync_interval: int | None = None,
+    ):
+        assert trainer.state is not None, "call trainer.initialize() first"
+        self.trainer = trainer
+        self.param_sync_interval = param_sync_interval or trainer.config.generation_interval
+        self._traj_queue: queue.Queue = queue.Queue(maxsize=256)
+        self._params_lock = threading.Lock()
+        self._latest_params: tuple[int, Any] | None = None
+        self._stop = threading.Event()
+        self._listener = socket.create_server((host, port))
+        self.address: tuple[str, int] = self._listener.getsockname()[:2]
+        self.trajectories_received = 0
+        self.params_served = 0
+        self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self.publish_params()
+
+    # -- networking --------------------------------------------------------
+
+    def start(self) -> "LearnerServer":
+        self._accept_thread.start()
+        return self
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._listener.accept()
+            except OSError:
+                return  # listener closed
+            threading.Thread(target=self._serve_connection, args=(conn,), daemon=True).start()
+
+    def _serve_connection(self, conn: socket.socket) -> None:
+        with conn:
+            while not self._stop.is_set():
+                msg = _recv_msg(conn)
+                if msg is None:
+                    return
+                kind = msg.get("kind")
+                if kind == "trajectories":
+                    self._traj_queue.put(msg["payload"])
+                    _send_msg(conn, {"kind": "ack"})
+                elif kind == "get_params":
+                    with self._params_lock:
+                        step, params = self._latest_params
+                        self.params_served += 1
+                    _send_msg(conn, {"kind": "params", "step": step, "payload": params})
+                else:
+                    _send_msg(conn, {"kind": "error", "message": f"unknown kind {kind!r}"})
+
+    # -- training ----------------------------------------------------------
+
+    def publish_params(self) -> None:
+        """Snapshot current parameters for actor pulls (host numpy copy, so
+        serving threads never touch live device buffers)."""
+        snapshot = _to_numpy(self.trainer.state.params)
+        with self._params_lock:
+            self._latest_params = (int(self.trainer.state.step), snapshot)
+
+    def drain_queue(self, block_for_first: bool, timeout_s: float = 5.0) -> int:
+        """Move queued trajectory batches into the replay buffer."""
+        drained = 0
+        while True:
+            try:
+                traj = self._traj_queue.get(block=block_for_first and drained == 0, timeout=timeout_s)
+            except queue.Empty:
+                break
+            self.trainer.buffer = replay_lib.add_trajectories(self.trainer.buffer, traj)
+            self.trajectories_received += 1
+            drained += 1
+        return drained
+
+    def fill_buffer(self, timeout_s: float = 300.0, verbose: bool = True) -> None:
+        """Wait for actors to deliver ``min_buffer_size`` episodes."""
+        cfg = self.trainer.config
+        deadline = time.monotonic() + timeout_s
+        while int(self.trainer.buffer.size) < cfg.min_buffer_size:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"replay buffer still at {int(self.trainer.buffer.size)}/"
+                    f"{cfg.min_buffer_size} episodes after {timeout_s:.0f}s — are actors running?"
+                )
+            if self.drain_queue(block_for_first=True, timeout_s=1.0) and verbose:
+                print(f"buffer: {int(self.trainer.buffer.size)}/{cfg.min_buffer_size}", flush=True)
+
+    def run(self, num_steps: int, verbose: bool = True) -> dict[str, float]:
+        """Optimize for ``num_steps``, interleaving queue drains and
+        parameter publication (counterpart of ``Trainer._train_loop`` with
+        generation replaced by actor ingestion)."""
+        trainer, cfg = self.trainer, self.trainer.config
+        start = int(trainer.state.step)
+        final: dict[str, float] = {}
+        last_t, last_s = time.perf_counter(), start
+        for step in range(start + 1, start + num_steps + 1):
+            self.drain_queue(block_for_first=False)
+            batch, indices, weights = replay_lib.sample_batch(
+                trainer.buffer, trainer._next_key(), cfg.batch_size, cfg
+            )
+            trainer.state, loss_output, priorities = trainer._train_fn(batch, weights)
+            trainer.buffer = replay_lib.update_priorities(trainer.buffer, indices, priorities)
+
+            if step % self.param_sync_interval == 0:
+                self.publish_params()
+
+            if step % cfg.log_interval == 0:
+                now = time.perf_counter()
+                final = {
+                    "step": step,
+                    "total_loss": float(loss_output.total_loss),
+                    "steps_per_s": (step - last_s) / max(now - last_t, 1e-9),
+                    "buffer_size": int(trainer.buffer.size),
+                    "trajectories_received": self.trajectories_received,
+                }
+                last_t, last_s = now, step
+                trainer.metrics.log(final)
+                if verbose:
+                    print(
+                        f"learner step {step}: loss {final['total_loss']:.4f} "
+                        f"{final['steps_per_s']:.1f} steps/s "
+                        f"({self.trajectories_received} traj batches in)",
+                        flush=True,
+                    )
+        self.publish_params()
+        return final
+
+    def close(self) -> None:
+        self._stop.set()
+        self._listener.close()
+
+
+# ---------------------------------------------------------------------------
+# actor side
+
+
+class ActorClient:
+    """Self-play worker: pull params → generate a batch of games on the
+    local device(s) → push trajectories; repeat."""
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        learner_address: tuple[str, int],
+        seed: int = 0,
+        num_games: int | None = None,
+        connect_timeout_s: float = 30.0,
+    ):
+        self.config = config
+        self.num_games = num_games or config.num_parallel_games
+        self._key = jax.random.PRNGKey(seed)
+        # Apply fns only; parameters always come from the learner.
+        self._network = create_network(
+            jax.random.PRNGKey(0),
+            hidden_size=config.hidden_size,
+            num_blocks=config.num_residual_blocks,
+            codebook_size=config.codebook_size,
+        )
+        self._sock = connect_with_retry(learner_address, connect_timeout_s)
+        self.generations = 0
+        self.learner_step = -1
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def fetch_params(self) -> Any:
+        _send_msg(self._sock, {"kind": "get_params"})
+        reply = _recv_msg(self._sock)
+        assert reply is not None and reply["kind"] == "params", reply
+        self.learner_step = reply["step"]
+        return reply["payload"]
+
+    def run(
+        self,
+        num_generations: int,
+        on_generation: Callable[[int, int], None] | None = None,
+    ) -> None:
+        """``num_generations`` rounds of pull-params → play → push."""
+        for gen in range(num_generations):
+            params = self.fetch_params()
+            traj = generate_games(
+                params,
+                self._network.apply_fns,
+                self._next_key(),
+                self.config,
+                training_step=max(self.learner_step, 0),
+                num_games=self.num_games,
+            )
+            _send_msg(self._sock, {"kind": "trajectories", "payload": _to_numpy(traj)})
+            ack = _recv_msg(self._sock)
+            assert ack is not None and ack["kind"] == "ack", ack
+            self.generations += 1
+            if on_generation is not None:
+                on_generation(gen, self.learner_step)
+
+    def close(self) -> None:
+        self._sock.close()

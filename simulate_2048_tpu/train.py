@@ -23,6 +23,15 @@ def main() -> None:
         action="store_true",
         help="shard the learner batch over all visible devices (DP over a 'data' mesh)",
     )
+    parser.add_argument(
+        "--set",
+        dest="overrides",
+        action="append",
+        default=[],
+        metavar="FIELD=VALUE",
+        help="override any TrainConfig field, e.g. --set codebook_entropy_weight=0.1 "
+        "(repeatable; values parsed as Python literals, falling back to str)",
+    )
     args = parser.parse_args()
 
     from simulate_2048_tpu.utils.platform import enable_compile_cache, respect_env_platforms
@@ -35,6 +44,21 @@ def main() -> None:
     from simulate_2048_tpu.training import Trainer, default_config, small_config, tiny_config
 
     config = {"tiny": tiny_config, "small": small_config, "full": default_config}[args.mode]()
+    if args.overrides:
+        import ast
+        import dataclasses
+
+        fields = {}
+        for item in args.overrides:
+            key, _, raw = item.partition("=")
+            if not hasattr(config, key):
+                parser.error(f"unknown TrainConfig field: {key!r}")
+            try:
+                fields[key] = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                fields[key] = raw
+        config = dataclasses.replace(config, **fields)
+        print(f"config overrides: {fields}")
     print(f"mode={args.mode} devices={jax.devices()}")
 
     mesh = None
