@@ -178,6 +178,15 @@ def evaluate_games(
     active = np.asarray(traj.length)[:, None] > np.arange(obs.shape[1])[None, :]
     used = np.unique(code_ids.reshape(active.shape)[active])
 
+    # Per-move search diagnostics over active steps: the stored policy
+    # targets at temperature 1.0 ARE the root visit distributions, so their
+    # entropy measures how decided the search is (ln 4 ≈ 1.386 = uniform);
+    # the stored values are the backed-up root values.
+    policies = np.asarray(traj.policies)  # (B, T, A)
+    values = np.asarray(traj.values)  # (B, T)
+    act = active  # (B, T) bool
+    entropy = -(policies * np.log(np.maximum(policies, 1e-12))).sum(-1)
+
     stats: dict[str, Any] = {
         "mean_reward": float(rewards.mean()),
         "std_reward": float(rewards.std()),
@@ -186,6 +195,8 @@ def evaluate_games(
         "max_tile": int(tiles.max()),
         "mean_length": float(np.asarray(traj.length).mean()),
         "encoder_codes_used": int(used.size),
+        "mean_search_entropy": float(entropy[act].mean()) if act.any() else 0.0,
+        "mean_search_value": float(values[act].mean()) if act.any() else 0.0,
     }
     for tile in (256, 512, 1024, 2048, 4096, 8192, 16384, 32768):
         stats[f"reached_{tile}"] = int((tiles >= tile).sum())
