@@ -23,6 +23,12 @@ def main() -> None:
     parser.add_argument("--sims", type=int, default=64)
     parser.add_argument("--mode", choices=["tiny", "small", "full"], default="small")
     parser.add_argument(
+        "--max-depth",
+        type=int,
+        default=None,
+        help="tree-depth cap (None = unbounded; presets use 32 via search_max_depth)",
+    )
+    parser.add_argument(
         "--trace",
         default=None,
         metavar="DIR",
@@ -61,6 +67,7 @@ def main() -> None:
         num_simulations=args.sims,
         codebook_size=cfg.codebook_size,
         discount=cfg.discount,
+        max_depth=args.max_depth,
     )
 
     state = envlib.reset_batch(0, args.boards)

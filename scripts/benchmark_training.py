@@ -64,6 +64,7 @@ def main() -> None:
         policies=jnp.asarray(np.full((n_traj, t, 4), 0.25, np.float32)),
         values=jnp.asarray((rs.rand(n_traj, t) * 10).astype(np.float32)),
         length=jnp.full((n_traj,), t, jnp.int32),
+        terminated=jnp.ones(n_traj, bool),
         total_reward=jnp.asarray((rs.rand(n_traj) * 100).astype(np.float32)),
         max_tile=jnp.full((n_traj,), 256, jnp.int32),
     )

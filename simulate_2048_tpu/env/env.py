@@ -127,6 +127,25 @@ def step_auto_reset(state: GameState, action: Array) -> tuple[GameState, Array, 
     return out, reward, done, info
 
 
+def reset_done(state: GameState) -> GameState:
+    """Replace finished games with fresh episodes; active games untouched.
+
+    The segment-boundary counterpart of :func:`step_auto_reset`'s in-step
+    reset (same deterministic reseed: ``derive_game_seeds(0, game_seed,
+    episode_index+1)``). Used by segmented self-play so games continue across
+    trajectory segments and dead lanes restart at the next segment.
+    """
+    next_ep = state.episode_index + 1
+    reseed = tfrng.derive_game_seeds(jnp.uint32(0), state.game_seed, next_ep)
+    fresh = reset(reseed)._replace(episode_index=next_ep)
+    done = state.done
+    return jax.tree.map(
+        lambda f, s: jnp.where(done.reshape(done.shape + (1,) * (f.ndim - done.ndim)), f, s),
+        fresh,
+        state,
+    )
+
+
 def get_observation(state: GameState) -> Array:
     """Flattened float observation in [0, 1] (``env.py:137-153``)."""
     return ops.encode_observation(state.board)

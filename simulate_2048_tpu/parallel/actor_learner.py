@@ -35,6 +35,7 @@ import time
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from simulate_2048_tpu.models import create_network
@@ -269,6 +270,10 @@ class ActorClient:
         self._sock = connect_with_retry(learner_address, connect_timeout_s)
         self.generations = 0
         self.learner_step = -1
+        # Games persist across generations (segments) like the trainer's.
+        from simulate_2048_tpu.env import env as envlib
+
+        self._env_state = envlib.reset_batch(jnp.uint32(seed * 2654435761 % (1 << 31)), self.num_games)
 
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
@@ -289,13 +294,14 @@ class ActorClient:
         """``num_generations`` rounds of pull-params → play → push."""
         for gen in range(num_generations):
             params = self.fetch_params()
-            traj = generate_games(
+            self._env_state, traj = generate_games(
                 params,
                 self._network.apply_fns,
                 self._next_key(),
                 self.config,
                 training_step=max(self.learner_step, 0),
                 num_games=self.num_games,
+                env_state=self._env_state,
             )
             _send_msg(self._sock, {"kind": "trajectories", "payload": _to_numpy(traj)})
             ack = _recv_msg(self._sock)

@@ -113,7 +113,11 @@ def _traverse(tree: Tree, cfg: SearchConfig) -> tuple[Array, Array, Array, Array
     pairs, ``path_nodes[depth-1] == parent`` and ``path_edges[depth-1] ==
     edge``.
     """
+    # A path of depth L needs L expanded ancestors, so depth can never exceed
+    # num_simulations + 1 — clamping keeps the recorded-path arrays (and the
+    # backup contractions over them) no larger than necessary.
     max_depth = cfg.max_depth if cfg.max_depth is not None else cfg.num_simulations + 1
+    max_depth = min(max_depth, cfg.num_simulations + 1)
 
     def cond(state):
         _, _, next_node, depth, _, _ = state

@@ -32,6 +32,14 @@ class TrainConfig:
     dirichlet_fraction: float = 0.1
     pb_c_init: float = 1.25
     pb_c_base: float = 19652.0
+    # Tree-depth cap. The backup's recorded-path arrays (and the one-hot
+    # contractions over them) scale with this, so a tight bound is faster.
+    # Measured: a trained small-config net at 64 sims never exceeds depth 11,
+    # so 32 does not bind in practice (results bit-identical when it never
+    # binds; when it does, the capped simulation re-backs-up the existing
+    # child's value — mctx's max_depth semantics). None = unbounded
+    # (reference behavior, ``stochastic_mctx.py:227``).
+    search_max_depth: int | None = 32
 
     # Temperature schedule [(step, temperature), …] (paper: greedy from 300k).
     temperature_schedule: tuple[tuple[int, float], ...] = (
@@ -69,6 +77,10 @@ class TrainConfig:
     log_interval: int = 100
     eval_interval: int = 1_000
     eval_games: int = 10
+    # Evaluation plays FULL games up to this many moves (training segments
+    # stay max_trajectory_length long; the reference caps eval games at 200
+    # moves too, clipping measurable strength — reaching 2048 takes ~950+).
+    eval_max_moves: int = 1_200
 
     # Self-play. Same games-per-train-step ratio as the reference
     # (8 games / 100 steps, ``config.py:79-80``) but in TPU-sized batches:
@@ -157,6 +169,7 @@ def tiny_config() -> TrainConfig:
         log_interval=1,
         eval_interval=50,
         eval_games=2,
+        eval_max_moves=80,
         num_parallel_games=2,
         generation_interval=20,
     )

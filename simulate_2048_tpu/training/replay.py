@@ -42,7 +42,13 @@ class Trajectory(NamedTuple):
     policies: Array  # (B, T, A) f32
     values: Array  # (B, T) f32 search values at collection time
     length: Array  # (B,) i32
-    total_reward: Array  # (B,) f32
+    # True ⇒ the game actually ended inside this segment; False ⇒ the segment
+    # was truncated and the game continues in a later segment (the reference
+    # caps whole GAMES at 200 moves, ``self_play.py:314`` — here 200 is the
+    # trajectory-segment cap like the paper's buffer spec, and long games
+    # span segments).
+    terminated: Array  # (B,) bool
+    total_reward: Array  # (B,) f32 reward earned within this segment
     max_tile: Array  # (B,) i32
 
 
@@ -55,6 +61,7 @@ class BufferState(NamedTuple):
     policies: Array  # (cap, T, A) f32
     values: Array  # (cap, T) f32
     length: Array  # (cap,) i32
+    terminated: Array  # (cap,) bool
     total_reward: Array  # (cap,) f32
     max_tile: Array  # (cap,) i32
     priorities: Array  # (cap,) f32 (0 ⇒ empty slot)
@@ -74,6 +81,7 @@ def init_buffer(config: TrainConfig) -> BufferState:
         policies=jnp.zeros((cap, t, a), jnp.float32),
         values=jnp.zeros((cap, t), jnp.float32),
         length=jnp.zeros((cap,), jnp.int32),
+        terminated=jnp.zeros((cap,), jnp.bool_),
         total_reward=jnp.zeros((cap,), jnp.float32),
         max_tile=jnp.zeros((cap,), jnp.int32),
         priorities=jnp.zeros((cap,), jnp.float32),
@@ -116,6 +124,7 @@ def add_trajectories(state: BufferState, traj: Trajectory) -> BufferState:
         policies=state.policies.at[idx].set(traj.policies),
         values=state.values.at[idx].set(traj.values),
         length=state.length.at[idx].set(traj.length),
+        terminated=state.terminated.at[idx].set(traj.terminated),
         total_reward=state.total_reward.at[idx].set(traj.total_reward),
         max_tile=state.max_tile.at[idx].set(traj.max_tile),
         priorities=state.priorities.at[idx].set(prios),
@@ -158,7 +167,13 @@ def sample_batch(
     weights = weights / jnp.maximum(jnp.max(weights), 1e-12)
 
     lengths = state.length[idx]
-    start = (jax.random.randint(key_start, (batch_size,), 0, 1 << 30) % jnp.maximum(lengths, 1)).astype(
+    terminated = state.terminated[idx]
+    # Terminated episodes: windows may cross the end (absorbing-state masking
+    # below teaches terminal values). Truncated segments: the game continues
+    # beyond the stored steps, so windows must stay inside [0, length-K) —
+    # there is no valid target past the boundary.
+    max_start = jnp.where(terminated, lengths, jnp.maximum(lengths - k, 1))
+    start = (jax.random.randint(key_start, (batch_size,), 0, 1 << 30) % jnp.maximum(max_start, 1)).astype(
         jnp.int32
     )
 

@@ -38,20 +38,31 @@ def search_config_from(config: TrainConfig) -> SearchConfig:
         dirichlet_fraction=config.dirichlet_fraction,
         pb_c_init=config.pb_c_init,
         pb_c_base=config.pb_c_base,
+        max_depth=config.search_max_depth,
     )
 
 
-@partial(jax.jit, static_argnums=(1, 4, 5, 6))
-def play_games(
+@partial(jax.jit, static_argnums=(1, 5, 6, 7, 8))
+def play_segment(
     params: NetworkParams,
     apply_fns: NetworkApplyFns,
+    env_state: "envlib.GameState",
     key: Array,
     temperature: Array,
     config: TrainConfig,
     num_games: int,
     greedy: bool = False,
-) -> Trajectory:
-    """Play ``num_games`` episodes in lockstep with batched MCTS.
+    num_steps: int | None = None,
+) -> tuple["envlib.GameState", Trajectory]:
+    """Play one trajectory SEGMENT from wherever the games currently are.
+
+    The reference caps whole games at 200 moves (``self_play.py:314`` — its
+    trajectory capacity doubles as a game-length cap, so its agents can never
+    score past a ~200-move game). Here the cap is per SEGMENT, as in the
+    paper's buffer spec: games carry over between calls via ``env_state``;
+    a game that ends inside the segment is flagged ``terminated`` and its
+    lane restarts (deterministically reseeded) at the segment boundary, while
+    unfinished games continue in the next segment.
 
     - Policy targets are stored at temperature 1.0 while actions are sampled
       at the scheduled ``temperature`` — the reference's (intentional,
@@ -61,17 +72,16 @@ def play_games(
     - ``temperature`` is traced, so one compiled program serves the whole
       schedule.
 
-    Returns a :class:`Trajectory` batch of fixed capacity
-    ``config.max_trajectory_length`` with per-episode ``length``.
+    Returns ``(next_env_state, trajectory)``; the trajectory's
+    ``total_reward`` is the reward earned within this segment.
     """
-    t_max = config.max_trajectory_length
+    t_max = num_steps or config.max_trajectory_length
     cfg = search_config_from(config)
     if greedy:
         cfg = cfg._replace(dirichlet_fraction=0.0)
 
-    key, reset_key = jax.random.split(key)
-    run_seed = jax.random.randint(reset_key, (), 0, 1 << 30, dtype=jnp.int32).astype(jnp.uint32)
-    state = envlib.reset_batch(run_seed, num_games)
+    state = env_state
+    initial_total = state.total_reward
 
     def body(carry, step_key):
         state = carry
@@ -118,16 +128,45 @@ def play_games(
     active = to_bt(active)
     lengths = jnp.sum(active.astype(jnp.int32), axis=-1)
 
-    return Trajectory(
+    traj = Trajectory(
         boards=boards,
         actions=to_bt(actions) * active.astype(jnp.int8),
         rewards=to_bt(rewards) * active,
         policies=to_bt(policies) * active[..., None],
         values=to_bt(values) * active,
         length=lengths,
-        total_reward=final_state.total_reward,
+        terminated=final_state.done,
+        total_reward=final_state.total_reward - initial_total,
         max_tile=ops.max_tile(boards[:, -1].reshape(num_games, 4, 4).astype(jnp.int32)),
     )
+    return envlib.reset_done(final_state), traj
+
+
+@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7))
+def play_games(
+    params: NetworkParams,
+    apply_fns: NetworkApplyFns,
+    key: Array,
+    temperature: Array,
+    config: TrainConfig,
+    num_games: int,
+    greedy: bool = False,
+    num_steps: int | None = None,
+) -> Trajectory:
+    """Play ``num_games`` FRESH episodes in lockstep (one segment from reset).
+
+    Stateless convenience over :func:`play_segment`; pass ``num_steps`` to
+    run longer than one buffer segment (evaluation uses
+    ``config.eval_max_moves`` so measured strength is not clipped by the
+    segment cap).
+    """
+    key, reset_key = jax.random.split(key)
+    run_seed = jax.random.randint(reset_key, (), 0, 1 << 30, dtype=jnp.int32).astype(jnp.uint32)
+    state = envlib.reset_batch(run_seed, num_games)
+    _, traj = play_segment(
+        params, apply_fns, state, key, temperature, config, num_games, greedy, num_steps
+    )
+    return traj
 
 
 def generate_games(
@@ -137,20 +176,96 @@ def generate_games(
     config: TrainConfig,
     training_step: int,
     num_games: int | None = None,
-) -> Trajectory:
+    env_state: "envlib.GameState | None" = None,
+) -> "tuple[envlib.GameState, Trajectory] | Trajectory":
     """Self-play generation entry point (``self_play.py:396-457``).
 
+    With ``env_state`` given, plays one SEGMENT continuing those games and
+    returns ``(next_env_state, trajectory)`` — the trainer threads this so
+    games span generations instead of being capped at one segment. Without
+    it, plays fresh episodes and returns just the trajectory (stateless,
+    reference-shaped API).
+
     With ``config.value_target_mode == "td_lambda"`` the stored value targets
-    are TD(λ) n-step returns over the finished trajectories instead of raw
-    search values (see :func:`compute_n_step_returns`).
+    are TD(λ) n-step returns over the trajectories instead of raw search
+    values (see :func:`compute_n_step_returns`).
     """
     temperature = jnp.float32(config.get_temperature(training_step))
     n = num_games or config.num_parallel_games
-    traj = play_games(params, apply_fns, key, temperature, config, n, False)
+    if env_state is not None:
+        next_state, traj = play_segment(
+            params, apply_fns, env_state, key, temperature, config, n, False
+        )
+    else:
+        traj = play_games(params, apply_fns, key, temperature, config, n, False)
     if config.value_target_mode == "td_lambda":
-        returns = compute_n_step_returns(traj.rewards, traj.values, traj.length, config)
+        returns = compute_n_step_returns(
+            traj.rewards, traj.values, traj.length, config, traj.terminated
+        )
         traj = traj._replace(values=returns)
-    return traj
+    return (next_state, traj) if env_state is not None else traj
+
+
+@partial(jax.jit, static_argnums=(1, 4, 5))
+def _evaluate_rollout(
+    params: NetworkParams,
+    apply_fns: NetworkApplyFns,
+    key: Array,
+    run_seed: Array,
+    config: TrainConfig,
+    num_games: int,
+):
+    """Greedy full-game rollouts as a ``while_loop`` with streaming stats.
+
+    Unlike training segments (fixed-length scan recording a tape), evaluation
+    needs only summary statistics — a while-loop stops as soon as every game
+    ends (up to ``eval_max_moves``) and accumulates search entropy / values /
+    encoder code usage on the fly, so eval cost tracks actual game length.
+    """
+    cfg = search_config_from(config)._replace(dirichlet_fraction=0.0)
+    state = envlib.reset_batch(run_seed, num_games)
+
+    def cond(carry):
+        state, t, *_ = carry
+        return jnp.any(~state.done) & (t < config.eval_max_moves)
+
+    def body(carry):
+        state, t, k, ent_sum, val_sum, n_active, codes_used = carry
+        obs = envlib.get_observation(state)
+        legal = envlib.get_legal_actions(state)
+        active = ~state.done
+
+        k, sub = jax.random.split(k)
+        search_keys = jax.random.split(sub, num_games)
+        out = jax.vmap(lambda o, kk: _search_single(params, apply_fns, o, kk, cfg, None))(
+            obs, search_keys
+        )
+        actions = jnp.argmax(jnp.where(legal, out.action_weights, 0.0), axis=-1)
+
+        # Streaming diagnostics (active games only).
+        probs = jax.vmap(lambda po, m: get_policy_target(po, m, 1.0))(out, legal)
+        entropy = -jnp.sum(probs * jnp.log(jnp.maximum(probs, 1e-12)), axis=-1)
+        ent_sum = ent_sum + jnp.sum(jnp.where(active, entropy, 0.0))
+        val_sum = val_sum + jnp.sum(jnp.where(active, out.search_value, 0.0))
+        n_active = n_active + jnp.sum(active.astype(jnp.int32))
+        code = jnp.argmax(apply_fns.encoder(params.encoder, obs), axis=-1)
+        hit = jax.nn.one_hot(code, config.codebook_size, dtype=jnp.bool_) & active[:, None]
+        codes_used = codes_used | jnp.any(hit, axis=0)
+
+        new_state, _, _, _ = envlib.step(state, actions)
+        return new_state, t + 1, k, ent_sum, val_sum, n_active, codes_used
+
+    init = (
+        state,
+        jnp.int32(0),
+        key,
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.int32(0),
+        jnp.zeros((config.codebook_size,), jnp.bool_),
+    )
+    state, _, _, ent_sum, val_sum, n_active, codes_used = jax.lax.while_loop(cond, body, init)
+    return state, ent_sum, val_sum, n_active, codes_used
 
 
 def evaluate_games(
@@ -160,32 +275,24 @@ def evaluate_games(
     config: TrainConfig,
     num_games: int | None = None,
 ) -> dict[str, Any]:
-    """Greedy evaluation rollouts with summary stats (``self_play.py:460-521``)."""
+    """Greedy evaluation with summary stats (``self_play.py:460-521``).
+
+    Plays FULL games (up to ``config.eval_max_moves`` — the reference caps
+    eval games at 200 moves like its training games, clipping measurable
+    strength; reaching the 2048 tile takes ~950+ moves).
+    """
     import numpy as np
 
     n = num_games or config.eval_games
-    traj = play_games(params, apply_fns, key, jnp.float32(0.0), config, n, True)
-    rewards = np.asarray(traj.total_reward)
-    tiles = np.asarray(traj.max_tile)
+    key, seed_key = jax.random.split(key)
+    run_seed = jax.random.randint(seed_key, (), 0, 1 << 30, dtype=jnp.int32).astype(jnp.uint32)
+    state, ent_sum, val_sum, n_active, codes_used = _evaluate_rollout(
+        params, apply_fns, key, run_seed, config, n
+    )
 
-    # VQ-VAE health: how many distinct chance codes the encoder assigns to the
-    # observations seen in eval. 1 = code collapse (the stochastic model has
-    # degenerated to deterministic — functionally the reference's placeholder
-    # behavior); healthy runs use a spread of the 32 codes.
-    obs = traj.boards[:, :-1].astype(jnp.float32) / 16.0
-    encode = jax.jit(lambda p, o: jnp.argmax(apply_fns.encoder(p, o), axis=-1))
-    code_ids = np.asarray(encode(params.encoder, obs.reshape(-1, obs.shape[-1])))
-    active = np.asarray(traj.length)[:, None] > np.arange(obs.shape[1])[None, :]
-    used = np.unique(code_ids.reshape(active.shape)[active])
-
-    # Per-move search diagnostics over active steps: the stored policy
-    # targets at temperature 1.0 ARE the root visit distributions, so their
-    # entropy measures how decided the search is (ln 4 ≈ 1.386 = uniform);
-    # the stored values are the backed-up root values.
-    policies = np.asarray(traj.policies)  # (B, T, A)
-    values = np.asarray(traj.values)  # (B, T)
-    act = active  # (B, T) bool
-    entropy = -(policies * np.log(np.maximum(policies, 1e-12))).sum(-1)
+    rewards = np.asarray(state.total_reward)
+    tiles = np.asarray(ops.max_tile(state.board))
+    n_act = max(int(n_active), 1)
 
     stats: dict[str, Any] = {
         "mean_reward": float(rewards.mean()),
@@ -193,10 +300,14 @@ def evaluate_games(
         "max_reward": float(rewards.max()),
         "mean_max_tile": float(tiles.mean()),
         "max_tile": int(tiles.max()),
-        "mean_length": float(np.asarray(traj.length).mean()),
-        "encoder_codes_used": int(used.size),
-        "mean_search_entropy": float(entropy[act].mean()) if act.any() else 0.0,
-        "mean_search_value": float(values[act].mean()) if act.any() else 0.0,
+        "mean_length": float(np.asarray(state.step_count).mean()),
+        # VQ-VAE health: 1 = code collapse (the stochastic model has
+        # degenerated to deterministic — functionally the reference's
+        # placeholder behavior); healthy runs use a spread of the codes.
+        "encoder_codes_used": int(np.asarray(codes_used).sum()),
+        # Root visit entropy (ln 4 ≈ 1.386 = undecided) and backed-up values.
+        "mean_search_entropy": float(ent_sum) / n_act,
+        "mean_search_value": float(val_sum) / n_act,
     }
     for tile in (256, 512, 1024, 2048, 4096, 8192, 16384, 32768):
         stats[f"reached_{tile}"] = int((tiles >= tile).sum())
@@ -242,7 +353,11 @@ def warmup_self_play(
 
 @partial(jax.jit, static_argnums=(3,))
 def compute_n_step_returns(
-    rewards: Array, values: Array, lengths: Array, config: TrainConfig
+    rewards: Array,
+    values: Array,
+    lengths: Array,
+    config: TrainConfig,
+    terminated: Array | None = None,
 ) -> Array:
     """TD(λ) n-step value targets over a trajectory batch.
 
@@ -252,6 +367,9 @@ def compute_n_step_returns(
 
     Implemented as a backward scan of the TD(λ) recursion
     G_t = r_t + γ[(1-λ) v_{t+1} + λ G_{t+1}], truncated at episode end.
+    ``terminated`` (per episode) selects the boundary bootstrap: True ⇒ the
+    game ended, terminal value 0; False ⇒ the SEGMENT ended mid-game, so the
+    tail bootstraps from the last stored search value.
     """
     gamma, lam = config.discount, config.td_lambda
     t_max = rewards.shape[-1]
@@ -259,9 +377,15 @@ def compute_n_step_returns(
     in_ep = steps[None, :] < lengths[:, None]  # (B, T)
 
     v_next = jnp.concatenate([values[:, 1:], jnp.zeros_like(values[:, :1])], axis=-1)
-    v_next = jnp.where(
-        steps[None, :] + 1 < lengths[:, None], v_next, 0.0
-    )  # terminal bootstrap = 0
+    last = jnp.maximum(lengths - 1, 0)
+    boundary_v = jnp.where(
+        terminated if terminated is not None else jnp.ones_like(lengths, bool),
+        0.0,
+        jnp.take_along_axis(values, last[:, None], axis=-1)[:, 0],
+    )
+    is_last = steps[None, :] + 1 == lengths[:, None]
+    v_next = jnp.where(steps[None, :] + 1 < lengths[:, None], v_next, 0.0)
+    v_next = jnp.where(is_last, boundary_v[:, None], v_next)
 
     def backward(carry, xs):
         g_next = carry

@@ -53,6 +53,9 @@ class Trainer:
     network: MuZeroNetwork = field(init=False, default=None)
     buffer: replay_lib.BufferState = field(init=False, default=None)
     metrics: MetricsLogger = field(init=False, default=None)
+    # Persistent self-play games: generation plays SEGMENTS that continue
+    # across calls (the reference caps whole games at one trajectory length).
+    gen_state: object = field(init=False, default=None)
 
     def __post_init__(self):
         self._key = jax.random.PRNGKey(self.seed if self.seed is not None else self.config.seed)
@@ -88,6 +91,10 @@ class Trainer:
         (``trainer.py:126-154``)."""
         self.state, self.network = create_train_state(self._next_key(), self.config)
         self.buffer = replay_lib.init_buffer(self.config)
+        from simulate_2048_tpu.env import env as envlib
+
+        seed = jax.random.randint(self._next_key(), (), 0, 1 << 30, dtype=jnp.int32)
+        self.gen_state = envlib.reset_batch(seed.astype(jnp.uint32), self.config.num_parallel_games)
         if self._ckpt is not None:
             restored = self._ckpt.restore(self.state)
             if restored is not None:
@@ -103,12 +110,13 @@ class Trainer:
         """Self-play until ``min_buffer_size`` episodes (``trainer.py:156-223``)."""
         assert self.state is not None, "call initialize() first"
         while int(self.buffer.size) < self.config.min_buffer_size:
-            traj = generate_games(
+            self.gen_state, traj = generate_games(
                 self.state.params,
                 self.network.apply_fns,
                 self._next_key(),
                 self.config,
                 int(self.state.step),
+                env_state=self.gen_state,
             )
             self.buffer = replay_lib.add_trajectories(self.buffer, traj)
             if verbose:
@@ -151,8 +159,13 @@ class Trainer:
         )
         while step < end_step:
             if step % cfg.generation_interval == 0:
-                traj = generate_games(
-                    self.state.params, self.network.apply_fns, self._next_key(), cfg, step
+                self.gen_state, traj = generate_games(
+                    self.state.params,
+                    self.network.apply_fns,
+                    self._next_key(),
+                    cfg,
+                    step,
+                    env_state=self.gen_state,
                 )
                 self.buffer = replay_lib.add_trajectories(self.buffer, traj)
 

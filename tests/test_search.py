@@ -152,6 +152,28 @@ class TestWithRealNetwork:
         assert out.action_weights.shape == (4, 4)
         np.testing.assert_allclose(np.asarray(out.action_weights.sum(-1)), 1.0, rtol=1e-5)
 
+    def test_nonbinding_depth_cap_is_equivalent(self, net):
+        # The preset search_max_depth=32 relies on this: as long as no
+        # simulation's path reaches the cap, the capped search IS the
+        # unbounded search — identical visit decisions; values equal up to
+        # matmul reassociation (the backup contracts over a narrower path
+        # axis, so float sums associate differently at the ~1e-7 level).
+        obs = jax.random.uniform(jax.random.PRNGKey(5), (3, 16))
+        keys = jax.random.split(jax.random.PRNGKey(2), 3)
+        for cap in (16, 32):
+            a = batched_run_mcts(
+                net.params, net.apply_fns, obs, keys,
+                SearchConfig(num_simulations=32, codebook_size=C, max_depth=None),
+            )
+            b = batched_run_mcts(
+                net.params, net.apply_fns, obs, keys,
+                SearchConfig(num_simulations=32, codebook_size=C, max_depth=cap),
+            )
+            np.testing.assert_array_equal(np.asarray(a.visit_counts), np.asarray(b.visit_counts))
+            np.testing.assert_allclose(
+                np.asarray(a.search_value), np.asarray(b.search_value), rtol=1e-5, atol=1e-6
+            )
+
 
 class TestPolicyExtraction:
     OUT = PolicyOutput(

@@ -99,3 +99,64 @@ class TestTrainerLoop:
         assert stats["episodes_added"] >= CFG.min_buffer_size
         # metrics JSONL written
         assert (tmp_path / "metrics.jsonl").exists()
+
+
+class TestSegmentedGames:
+    """Long games span trajectory segments (the reference caps whole games at
+    one trajectory length, ``self_play.py:314``)."""
+
+    def test_segments_continue_games_and_reset_dead_lanes(self, setup):
+        from simulate_2048_tpu.env import env as envlib
+        from simulate_2048_tpu.training.self_play import play_segment
+
+        state, network = setup
+        env0 = envlib.reset_batch(77, 3)
+        env1, t1 = play_segment(
+            state.params, network.apply_fns, env0, jax.random.PRNGKey(2),
+            jnp.float32(1.0), CFG, 3,
+        )
+        env2, t2 = play_segment(
+            state.params, network.apply_fns, env1, jax.random.PRNGKey(3),
+            jnp.float32(1.0), CFG, 3,
+        )
+        term1 = np.asarray(t1.terminated)
+        # Continuing games: segment 2's first board equals segment 1's final
+        # board; finished games got a fresh 2-tile board.
+        b_end1 = np.asarray(t1.boards)[:, -1]
+        b_start2 = np.asarray(t2.boards)[:, 0]
+        for i in range(3):
+            if term1[i]:
+                assert (b_start2[i] > 0).sum() == 2, "dead lane must restart fresh"
+            else:
+                np.testing.assert_array_equal(b_start2[i], b_end1[i])
+        # Segment reward is a per-segment delta, non-negative.
+        assert (np.asarray(t1.total_reward) >= 0).all()
+        assert (np.asarray(t2.total_reward) >= 0).all()
+        # Truncated segments report full length; terminated ones their real length.
+        lengths1 = np.asarray(t1.length)
+        assert ((lengths1 == CFG.max_trajectory_length) | term1).all()
+
+    def test_truncated_windows_never_cross_boundary(self, setup):
+        from simulate_2048_tpu.training import replay as replay_lib
+
+        cfg = CFG
+        k = cfg.num_unroll_steps
+        t = cfg.max_trajectory_length
+        rs = np.random.RandomState(0)
+        traj = replay_lib.Trajectory(
+            boards=jnp.asarray(rs.randint(1, 6, (4, t + 1, 16)).astype(np.int8)),
+            actions=jnp.asarray(rs.randint(0, 4, (4, t)).astype(np.int8)),
+            rewards=jnp.ones((4, t), jnp.float32),
+            policies=jnp.full((4, t, 4), 0.25),
+            values=jnp.full((4, t), 7.0),  # sentinel: never 0 inside the segment
+            length=jnp.full((4,), t, jnp.int32),
+            terminated=jnp.zeros((4,), bool),  # all truncated
+            total_reward=jnp.ones((4,)),
+            max_tile=jnp.full((4,), 64, jnp.int32),
+        )
+        buf = replay_lib.add_trajectories(replay_lib.init_buffer(cfg), traj)
+        batch, _, _ = replay_lib.sample_batch(buf, jax.random.PRNGKey(0), 64, cfg)
+        # For truncated segments no window may reach past the stored steps,
+        # so the absorbing-state masking (value 0) must never trigger.
+        assert (np.asarray(batch.target_values) == 7.0).all()
+        assert (np.asarray(batch.target_rewards) == 1.0).all()

@@ -45,6 +45,7 @@ def make_trajectories(batch: int, length_each: int, cfg=CFG, seed: int = 0) -> T
         ),
         values=jnp.asarray(rs.rand(batch, t).astype(np.float32) * 10),
         length=jnp.asarray(lengths),
+        terminated=jnp.ones(batch, bool),
         total_reward=jnp.asarray(rs.rand(batch).astype(np.float32) * 100),
         max_tile=jnp.asarray(rs.choice([64, 128, 256], batch).astype(np.int32)),
     )
