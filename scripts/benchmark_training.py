@@ -63,6 +63,7 @@ def main() -> None:
         rewards=jnp.asarray((rs.rand(n_traj, t) * 4).astype(np.float32)),
         policies=jnp.asarray(np.full((n_traj, t, 4), 0.25, np.float32)),
         values=jnp.asarray((rs.rand(n_traj, t) * 10).astype(np.float32)),
+        priorities=jnp.asarray((rs.rand(n_traj, t)).astype(np.float32)),
         length=jnp.full((n_traj,), t, jnp.int32),
         terminated=jnp.ones(n_traj, bool),
         total_reward=jnp.asarray((rs.rand(n_traj) * 100).astype(np.float32)),

@@ -53,6 +53,22 @@ class SearchConfig(NamedTuple):
     # already-expanded edge, it backs up that child's current value instead
     # of expanding.
     max_depth: int | None = None
+    # Chance-node child selection:
+    # - "argmax": deterministic argmax p(c)/(1+N(c)) — allocates visits
+    #   proportionally to the predicted chance distribution (the jit-friendly
+    #   derandomization; matches round-1 behavior bitwise when pw_c is None).
+    # - "sample": c ~ σ, the paper's stochastic scheme (Stochastic MuZero §3:
+    #   chance outcomes are SAMPLED from the learned prior during search).
+    chance_selection: str = "argmax"
+    # Progressive widening on chance nodes (the reference gets this from
+    # inside mctx's stochastic policy — SURVEY.md §2.3 #16): a chance node
+    # with N visits may have at most ceil(pw_c · (N+1)^pw_alpha) distinct
+    # children; until the cap binds, the next child is the highest-prior
+    # unexpanded code ("argmax") or any sampled code ("sample"); once it
+    # binds, selection is restricted to the already-expanded set. None
+    # disables widening (every code is always a candidate).
+    pw_c: float | None = None
+    pw_alpha: float = 0.5
 
 
 class PolicyOutput(NamedTuple):
@@ -65,14 +81,14 @@ class PolicyOutput(NamedTuple):
     qvalues: Array  # (…, A) root Q values
 
 
-def _select_child(tree: Tree, node: Array, cfg: SearchConfig) -> Array:
+def _select_child(tree: Tree, node: Array, cfg: SearchConfig, key: Array | None = None) -> Array:
     """Pick the edge to follow from ``node``.
 
     Decision nodes: PUCT with min-max-normalized Q
     (pb_c = pb_c_init + log((N + pb_c_base + 1)/pb_c_base)).
-    Chance nodes: argmax p(c) / (1 + N(c)) — deterministic visit allocation
-    proportional to the predicted chance distribution (the jit-friendly
-    stand-in for sampling c ~ σ used by mctx's stochastic policy).
+    Chance nodes: per ``cfg.chance_selection`` — deterministic
+    argmax p(c)/(1+N(c)) visit allocation, or the paper's c ~ σ sampling —
+    optionally under progressive widening (``cfg.pw_c``; see SearchConfig).
 
     Reads only dense (K,) rows of the node — no gathers (see tree.py note).
     """
@@ -93,8 +109,46 @@ def _select_child(tree: Tree, node: Array, cfg: SearchConfig) -> Array:
     pb_c = cfg.pb_c_init + jnp.log((parent_visits + cfg.pb_c_base + 1.0) / cfg.pb_c_base)
     puct = qt + pb_c * prior * jnp.sqrt(jnp.maximum(parent_visits, 1)) / (1.0 + child_visits)
 
-    # Chance score
+    # Chance-node candidate set under progressive widening: expanded children
+    # always; a NEW child only while |children| < ceil(pw_c · (N+1)^pw_alpha).
+    if cfg.pw_c is not None:
+        expanded = tree.children_index[node] != UNVISITED  # (K,)
+        n_expanded = jnp.sum(expanded.astype(jnp.int32))
+        cap = jnp.ceil(
+            cfg.pw_c * jnp.power(parent_visits.astype(jnp.float32) + 1.0, cfg.pw_alpha)
+        ).astype(jnp.int32)
+        allow_new = n_expanded < jnp.maximum(cap, 1)
+    else:
+        expanded = None
+        allow_new = jnp.bool_(True)
+
+    if cfg.chance_selection == "sample":
+        # Paper-faithful: sample c ~ σ (restricted to the expanded set once
+        # the widening cap binds).
+        if key is None:
+            raise ValueError("chance_selection='sample' requires a traversal key")
+        if expanded is None:
+            allowed = prior > 0
+        else:
+            allowed = (prior > 0) & (expanded | allow_new)
+            # Degenerate guard: nothing allowed (all-zero priors on expanded
+            # set) — fall back to any positive-prior slot.
+            allowed = jnp.where(jnp.any(allowed), allowed, prior > 0)
+        logits = jnp.where(allowed, jnp.log(jnp.maximum(prior, 1e-30)), NEG_INF)
+        chance_pick = jax.random.categorical(key, logits).astype(jnp.int32)
+        decision_pick = jnp.argmax(jnp.where(prior > 0, puct, NEG_INF)).astype(jnp.int32)
+        return jnp.where(is_dec, decision_pick, chance_pick)
+
+    # Deterministic chance score p/(1+N); with widening, unexpanded slots
+    # compete only through the single best-prior candidate while allowed.
     chance = prior / (1.0 + child_visits)
+    if expanded is not None:
+        best_unexpanded = jnp.argmax(jnp.where(~expanded, prior, NEG_INF))
+        candidate = expanded | (
+            allow_new & (jnp.arange(prior.shape[-1]) == best_unexpanded)
+        )
+        candidate = candidate | ~jnp.any(candidate)  # degenerate guard
+        chance = jnp.where(candidate, chance, NEG_INF)
 
     score = jnp.where(is_dec, puct, chance)
     # Padded/invalid slots have prior exactly 0: their PUCT score reduces to
@@ -103,7 +157,9 @@ def _select_child(tree: Tree, node: Array, cfg: SearchConfig) -> Array:
     return jnp.argmax(jnp.where(prior > 0, score, NEG_INF)).astype(jnp.int32)
 
 
-def _traverse(tree: Tree, cfg: SearchConfig) -> tuple[Array, Array, Array, Array, Array]:
+def _traverse(
+    tree: Tree, cfg: SearchConfig, key: Array | None = None
+) -> tuple[Array, Array, Array, Array, Array]:
     """Walk from the root until an unexpanded edge (or the depth cap).
 
     Records the (node, edge) pairs visited into fixed-size path arrays so the
@@ -111,30 +167,41 @@ def _traverse(tree: Tree, cfg: SearchConfig) -> tuple[Array, Array, Array, Array
     ``(parent, edge, depth, path_nodes, path_edges)`` where
     ``path_nodes[i], path_edges[i]`` for ``i < depth`` are the traversed
     pairs, ``path_nodes[depth-1] == parent`` and ``path_edges[depth-1] ==
-    edge``.
+    edge``. ``key`` drives chance-node sampling (``chance_selection="sample"``
+    only; unused and optional otherwise).
     """
     # A path of depth L needs L expanded ancestors, so depth can never exceed
     # num_simulations + 1 — clamping keeps the recorded-path arrays (and the
     # backup contractions over them) no larger than necessary.
     max_depth = cfg.max_depth if cfg.max_depth is not None else cfg.num_simulations + 1
     max_depth = min(max_depth, cfg.num_simulations + 1)
+    sampled = cfg.chance_selection == "sample"
+    if sampled and key is None:
+        raise ValueError("chance_selection='sample' requires a traversal key")
+    if not sampled:
+        key = jnp.zeros((2,), jnp.uint32)  # inert loop-carry placeholder
+
+    def pick(node, k):
+        if sampled:
+            return _select_child(tree, node, cfg, jax.random.fold_in(k, node))
+        return _select_child(tree, node, cfg)
 
     def cond(state):
-        _, _, next_node, depth, _, _ = state
+        _, _, next_node, depth, _, _, _ = state
         return (next_node != UNVISITED) & (depth < max_depth)
 
     def body(state):
-        _, _, node, depth, nodes, edges = state
-        action = _select_child(tree, node, cfg)
+        _, _, node, depth, nodes, edges, k = state
+        action = pick(node, k)
         nodes = nodes.at[depth].set(node)
         edges = edges.at[depth].set(action)
-        return node, action, tree.children_index[node, action], depth + 1, nodes, edges
+        return node, action, tree.children_index[node, action], depth + 1, nodes, edges, k
 
-    action0 = _select_child(tree, ROOT, cfg)
+    action0 = pick(ROOT, key)
     nodes0 = jnp.zeros((max_depth,), jnp.int32).at[0].set(ROOT)
     edges0 = jnp.zeros((max_depth,), jnp.int32).at[0].set(action0)
-    state = (ROOT, action0, tree.children_index[ROOT, action0], jnp.int32(1), nodes0, edges0)
-    parent, action, _, depth, nodes, edges = jax.lax.while_loop(cond, body, state)
+    state = (ROOT, action0, tree.children_index[ROOT, action0], jnp.int32(1), nodes0, edges0, key)
+    parent, action, _, depth, nodes, edges, _ = jax.lax.while_loop(cond, body, state)
     return parent, action, depth, nodes, edges
 
 
@@ -237,10 +304,11 @@ def _expand_and_backup(
     params: NetworkParams,
     apply_fns: NetworkApplyFns,
     cfg: SearchConfig,
+    key: Array | None = None,
 ) -> Tree:
     """One simulation's expansion: evaluate both transition types at the
     selected frontier edge, install the correct child, back up its value."""
-    parent, edge, depth, path_nodes, path_edges = _traverse(tree, cfg)
+    parent, edge, depth, path_nodes, path_edges = _traverse(tree, cfg, key)
     existing_child = tree.children_index[parent, edge]
     # False only when the depth cap stopped traversal on an expanded edge.
     needs_expand = existing_child == UNVISITED
@@ -325,8 +393,17 @@ def _search_single(
         root_value=root_value,
     )
 
-    def sim_body(s, tree):
-        return _expand_and_backup(tree, s + 1, params, apply_fns, cfg)
+    if cfg.chance_selection == "sample":
+        sim_key = jax.random.fold_in(key, 0x5EED)
+
+        def sim_body(s, tree):
+            return _expand_and_backup(
+                tree, s + 1, params, apply_fns, cfg, jax.random.fold_in(sim_key, s)
+            )
+    else:
+
+        def sim_body(s, tree):
+            return _expand_and_backup(tree, s + 1, params, apply_fns, cfg)
 
     tree = jax.lax.fori_loop(0, cfg.num_simulations, sim_body, tree)
 

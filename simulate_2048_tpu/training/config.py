@@ -40,6 +40,15 @@ class TrainConfig:
     # child's value — mctx's max_depth semantics). None = unbounded
     # (reference behavior, ``stochastic_mctx.py:227``).
     search_max_depth: int | None = 32
+    # Chance-node child selection in search: "argmax" = deterministic
+    # p(c)/(1+N) visit allocation (round-1 behavior); "sample" = c ~ σ as in
+    # the paper. Progressive widening (``mctx``-style, SURVEY §2.3 #16) caps
+    # chance children at ceil(pw_c·(N+1)^pw_alpha); None disables it. See
+    # ``search.mcts.SearchConfig`` and ``tests/test_search.py`` for the
+    # equivalence/divergence analysis (mctx itself is unavailable here).
+    chance_selection: str = "argmax"
+    pw_c: float | None = None
+    pw_alpha: float = 0.5
 
     # Temperature schedule [(step, temperature), …] (paper: greedy from 300k).
     temperature_schedule: tuple[tuple[int, float], ...] = (
@@ -76,7 +85,10 @@ class TrainConfig:
     checkpoint_buffer: bool = False  # persist replay experience too (reference never does)
     log_interval: int = 100
     eval_interval: int = 1_000
-    eval_games: int = 10
+    # 2048 scores have huge variance; 10 greedy games (the reference's
+    # ``config.py:76``) cannot support curve comparisons. 32+ with a
+    # reported standard error keeps eval noise quantified.
+    eval_games: int = 32
     # Evaluation plays FULL games up to this many moves (training segments
     # stay max_trajectory_length long; the reference caps eval games at 200
     # moves too, clipping measurable strength — reaching 2048 takes ~950+).
@@ -98,11 +110,24 @@ class TrainConfig:
     chance_loss_weight: float = 1.0
     commitment_loss_weight: float = 0.25
 
-    # Chance-target mode: "encoder" wires the VQ-VAE encoder of obs_{t+1} as
-    # the chance target (the paper's design); "placeholder" reproduces the
-    # reference's constant index-0 target (``losses.py:296-298`` — its
-    # declared-but-unwired training path).
-    chance_target_mode: str = "encoder"
+    # Chance-target mode. 2048's chance event is FULLY OBSERVED: the spawn is
+    # one of 16 cells × {2, 4} = 32 outcomes = the paper's codebook size, so a
+    # ground-truth chance code exists (code = 2·cell + is_four, the slot order
+    # of ``ops.board.afterstate_outcomes``) and no learned encoder is needed.
+    # - "oracle" (default): supervise ψ's chance logits (and teacher-force g's
+    #   chance input) with the real spawn extracted from consecutive boards
+    #   (obs_{t+1} − afterstate(obs_t, a_t)). Immune to the VQ-VAE code
+    #   collapse documented in docs/project.md.
+    # - "oracle_dist": same g input, but ψ's CE target is the EXACT spawn
+    #   distribution given the afterstate (0.9/n per empty cell for a 2,
+    #   0.1/n for a 4) — zero-variance version of "oracle"; the CE converges
+    #   to the true spawn entropy instead of fluctuating around it.
+    # - "encoder": the paper's design — a VQ-VAE encoder of obs_{t+1} gives
+    #   the (stop-gradient) chance target + commitment loss. Collapses to one
+    #   code on 2048 (docs/project.md).
+    # - "placeholder": reproduces the reference's constant index-0 target
+    #   (``losses.py:296-298`` — its declared-but-unwired training path).
+    chance_target_mode: str = "oracle"
 
     # Value-target mode: "search" stores raw MCTS root values (the reference's
     # actual behavior); "td_lambda" applies the TD(λ) n-step recursion the
@@ -121,6 +146,18 @@ class TrainConfig:
     encoder_noise_scale: float = 0.0
 
     seed: int = 42
+
+    def __post_init__(self):
+        valid_modes = ("oracle", "oracle_dist", "encoder", "placeholder")
+        if self.chance_target_mode not in valid_modes:
+            raise ValueError(f"chance_target_mode must be one of {valid_modes}")
+        if self.chance_target_mode.startswith("oracle") and self.codebook_size < 32:
+            raise ValueError(
+                "oracle chance targets index the 16 cells x {2,4} outcome space: "
+                f"codebook_size must be >= 32, got {self.codebook_size}"
+            )
+        if self.value_target_mode not in ("search", "td_lambda"):
+            raise ValueError("value_target_mode must be 'search' or 'td_lambda'")
 
     def get_temperature(self, training_step: int) -> float:
         """Scheduled action-selection temperature (``config.py:96-114``)."""

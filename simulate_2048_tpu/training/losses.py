@@ -8,7 +8,16 @@ one-hot at index 0 and the encoder is unused (``losses.py:296-298``), so the
 stochastic model never learns real spawn dynamics. Here
 ``config.chance_target_mode`` selects:
 
-- ``"encoder"`` (default): the paper's design — the encoder codes obs_{t+1}
+- ``"oracle"`` (default): 2048's chance event is fully observed, so the
+  chance code is GROUND TRUTH — code = 2·cell + is_four, recovered on device
+  from consecutive stored boards (obs_{t+1} − afterstate(obs_t, a_t)). ψ's
+  chance logits get a CE toward it and g is teacher-forced with it; no
+  encoder in the loop, hence no VQ-VAE collapse (docs/project.md).
+- ``"oracle_dist"``: like "oracle" but ψ's CE target is the EXACT spawn
+  distribution given the afterstate (0.9/n per empty cell for a 2, 0.1/n for
+  a 4 — the probabilities of ``ops.board.afterstate_outcomes``), a
+  zero-variance target whose CE converges to the true spawn entropy.
+- ``"encoder"``: the paper's design — the encoder codes obs_{t+1}
   into a chance one-hot that (a) serves as the (stop-gradient) cross-entropy
   target for ψ's chance prediction, (b) teacher-forces the dynamics input
   via straight-through, and (c) receives a commitment loss.
@@ -24,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from simulate_2048_tpu.models.network import NetworkApplyFns, NetworkParams
+from simulate_2048_tpu.ops import board as board_ops
 from simulate_2048_tpu.training.config import TrainConfig
 
 Array = jax.Array
@@ -116,6 +126,52 @@ def _encode_chance(
     return code_st, one_hot, commit
 
 
+def oracle_chance_targets(
+    observations: Array, actions: Array, codebook_size: int, exact_dist: bool = False
+) -> tuple[Array, Array, Array]:
+    """Ground-truth chance codes from consecutive observations.
+
+    2048's stochastic event is fully observed: given boards b_t, b_{t+1} and
+    action a_t, the spawn is ``b_{t+1} − afterstate(b_t, a_t)`` — one cell
+    gaining exponent 1 (a 2) or 2 (a 4). The code convention is
+    ``2·cell + is_four`` — exactly the 32 slots (cell-major, 2-before-4) of
+    :func:`simulate_2048_tpu.ops.board.afterstate_outcomes`, so search-time
+    chance children and training targets share one indexing.
+
+    Parameters
+    ----------
+    observations : (K+1, 16) float obs (exponent / 16 encoding)
+    actions : (K,) int
+
+    Returns
+    -------
+    (code_onehot (K, codebook_size), chance_target (K, codebook_size),
+    spawned (K,) bool). ``spawned`` is False where no tile appeared (invalid
+    move, or padding past episode end where stored boards repeat) — mask the
+    chance CE there. With ``exact_dist``, ``chance_target`` is the exact
+    spawn distribution given the afterstate instead of the sampled one-hot.
+    """
+    k_steps = actions.shape[0]
+    boards = jnp.round(observations * board_ops.MAX_EXPONENT).astype(jnp.int32)
+    boards = boards.reshape(k_steps + 1, 4, 4)
+    after, _ = jax.vmap(board_ops.apply_action)(boards[:-1], actions)
+    diff = (boards[1:] - after).reshape(k_steps, 16)
+    spawned = jnp.any(diff != 0, axis=-1)
+    cell = jnp.argmax(jnp.abs(diff), axis=-1)
+    spawn_exp = jnp.take_along_axis(diff, cell[:, None], axis=-1)[:, 0]
+    code = 2 * cell + (spawn_exp == 2).astype(jnp.int32)
+    code_onehot = jax.nn.one_hot(code, codebook_size)
+    if not exact_dist:
+        return code_onehot, code_onehot, spawned
+    flat_after = after.reshape(k_steps, 16)
+    empty = (flat_after == 0).astype(jnp.float32)
+    num_empty = jnp.sum(empty, axis=-1, keepdims=True)
+    p_cell = empty / jnp.maximum(num_empty, 1.0)
+    dist = jnp.stack([0.9 * p_cell, 0.1 * p_cell], axis=-1).reshape(k_steps, 32)
+    dist = jnp.pad(dist, ((0, 0), (0, codebook_size - 32)))
+    return code_onehot, dist, spawned
+
+
 def compute_loss(
     params: NetworkParams,
     apply_fns: NetworkApplyFns,
@@ -131,6 +187,7 @@ def compute_loss(
     (``losses.py:355-362``).
     """
     use_encoder = config.chance_target_mode == "encoder"
+    use_oracle = config.chance_target_mode in ("oracle", "oracle_dist")
     if key is None:
         sample_keys = None
     else:
@@ -146,17 +203,28 @@ def compute_loss(
 
         if use_encoder:
             # Chance codes of obs_1..obs_K (the observed outcomes of steps 0..K-1).
-            code_st, code_onehot, commit_all = _encode_chance(
+            code_st, chance_target, commit_all = _encode_chance(
                 params,
                 apply_fns,
                 sample.observations[1:],
                 config.encoder_noise_scale,
                 sample_key,
             )
+            chance_mask = jnp.ones((k_steps,))
+        elif use_oracle:
+            code_st, chance_target, spawned = oracle_chance_targets(
+                sample.observations,
+                sample.actions,
+                config.codebook_size,
+                exact_dist=config.chance_target_mode == "oracle_dist",
+            )
+            chance_mask = spawned.astype(jnp.float32)
+            commit_all = jnp.zeros((k_steps,))
         else:
             width = config.codebook_size
-            code_onehot = jnp.zeros((k_steps, width)).at[:, 0].set(1.0)
-            code_st = code_onehot
+            chance_target = jnp.zeros((k_steps, width)).at[:, 0].set(1.0)
+            code_st = chance_target
+            chance_mask = jnp.ones((k_steps,))
             commit_all = jnp.zeros((k_steps,))
 
         def unroll_step(carry, step):
@@ -170,8 +238,8 @@ def compute_loss(
                 params.afterstate_prediction, afterstate
             )
 
-            step_c = chance_loss(chance_logits, code_onehot[step])
-            if use_encoder:
+            step_c = chance_loss(chance_logits, chance_target[step]) * chance_mask[step]
+            if use_encoder or use_oracle:
                 chance_input = code_st[step]
             else:
                 # Reference behavior: argmax of the model's own prediction
@@ -206,13 +274,14 @@ def compute_loss(
             )
         else:
             usage = jnp.zeros((config.codebook_size,))
+        n_chance = jnp.maximum(jnp.sum(chance_mask), 1.0)
         return (
             LossOutput(
                 total_loss=jnp.float32(0),
                 policy_loss=tot_p / (k_steps + 1),
                 value_loss=tot_v / (k_steps + 1),
                 reward_loss=tot_r / k_steps,
-                chance_loss=tot_c / k_steps,
+                chance_loss=tot_c / n_chance,
                 commitment_loss=tot_commit / k_steps,
                 codebook_entropy=jnp.float32(0),
             ),

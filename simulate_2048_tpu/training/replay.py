@@ -5,13 +5,22 @@ The reference keeps replay on host NumPy with a prefetch thread
 of device arrays and every operation — circular insert, priority sampling,
 K+1-window gather, importance weights, priority update — is a pure jitted
 function, so sampling composes into the train step (no host↔device copies,
-no thread). Boards are stored as int8 exponents (16 bytes/step instead of 64)
-and encoded to float observations at gather time.
+no thread).
 
-Priorities are per-trajectory, computed like the reference
-(max(1, var(values)+0.1), ``replay_buffer.py:130-155`` — NOT the paper's
-|v−z|), but unlike the reference ``update_priorities`` is actually wired into
-the trainer (the reference never calls it — SURVEY.md §2.4 #21).
+Storage is compressed for HBM (full config = 125k slots x 200 steps):
+boards int8 exponents (16 B/step), policies f16, values/rewards/priorities
+bf16 — ~0.74 GB total vs ~1.1 GB all-f32 (see ``tests/test_training.py::
+TestBufferFootprint``). Everything is cast back to f32 at gather time.
+
+Priorities are PER POSITION (paper App. C: p_t = |ν_t − z_t|, the gap between
+the stored search value and the n-step return), not per trajectory as both the
+reference (``replay_buffer.py:130-155`` — a variance heuristic, never updated)
+and this repo's round 1 kept them. Sampling draws (episode, step) via an exact
+two-level factorization of the flattened categorical:
+P(ep, t) = p_t^α / Σ = [Σ_{t'∈ep} p^α / Σ] · [p_t^α / Σ_{t'∈ep} p^α],
+so episode-then-step sampling is distributionally identical to sampling the
+25M-position flat categorical without materializing per-sample 25M logits.
+The learner refreshes the sampled positions' priorities after every step.
 """
 
 from __future__ import annotations
@@ -27,6 +36,12 @@ from simulate_2048_tpu.training.losses import TrainingTargets
 
 Array = jax.Array
 
+# Storage dtypes (cast to f32 at gather).
+POLICY_DTYPE = jnp.float16  # probabilities in [0, 1]: f16 keeps ~3 digits
+VALUE_DTYPE = jnp.bfloat16  # returns reach ~1e6 (> f16 max): bf16 keeps range
+REWARD_DTYPE = jnp.bfloat16
+PRIORITY_DTYPE = jnp.bfloat16  # |v − z| magnitudes, precision uncritical
+
 
 class Trajectory(NamedTuple):
     """A batch of fixed-capacity episodes (``replay_buffer.py:35-73``).
@@ -41,6 +56,7 @@ class Trajectory(NamedTuple):
     rewards: Array  # (B, T) f32
     policies: Array  # (B, T, A) f32
     values: Array  # (B, T) f32 search values at collection time
+    priorities: Array  # (B, T) f32 per-position |ν_t − z_t| (paper App. C)
     length: Array  # (B,) i32
     # True ⇒ the game actually ended inside this segment; False ⇒ the segment
     # was truncated and the game continues in a later segment (the reference
@@ -53,18 +69,18 @@ class Trajectory(NamedTuple):
 
 
 class BufferState(NamedTuple):
-    """Circular trajectory store + priorities, all on device."""
+    """Circular trajectory store + per-position priorities, all on device."""
 
     boards: Array  # (cap, T+1, 16) int8
     actions: Array  # (cap, T) int8
-    rewards: Array  # (cap, T) f32
-    policies: Array  # (cap, T, A) f32
-    values: Array  # (cap, T) f32
+    rewards: Array  # (cap, T) bf16
+    policies: Array  # (cap, T, A) f16
+    values: Array  # (cap, T) bf16
     length: Array  # (cap,) i32
     terminated: Array  # (cap,) bool
     total_reward: Array  # (cap,) f32
     max_tile: Array  # (cap,) i32
-    priorities: Array  # (cap,) f32 (0 ⇒ empty slot)
+    step_priorities: Array  # (cap, T) bf16 (0 ⇒ unsampleable position)
     write_pos: Array  # () i32
     size: Array  # () i32
     episodes_added: Array  # () i64-ish i32
@@ -77,14 +93,14 @@ def init_buffer(config: TrainConfig) -> BufferState:
     return BufferState(
         boards=jnp.zeros((cap, t + 1, 16), jnp.int8),
         actions=jnp.zeros((cap, t), jnp.int8),
-        rewards=jnp.zeros((cap, t), jnp.float32),
-        policies=jnp.zeros((cap, t, a), jnp.float32),
-        values=jnp.zeros((cap, t), jnp.float32),
+        rewards=jnp.zeros((cap, t), REWARD_DTYPE),
+        policies=jnp.zeros((cap, t, a), POLICY_DTYPE),
+        values=jnp.zeros((cap, t), VALUE_DTYPE),
         length=jnp.zeros((cap,), jnp.int32),
         terminated=jnp.zeros((cap,), jnp.bool_),
         total_reward=jnp.zeros((cap,), jnp.float32),
         max_tile=jnp.zeros((cap,), jnp.int32),
-        priorities=jnp.zeros((cap,), jnp.float32),
+        step_priorities=jnp.zeros((cap, t), PRIORITY_DTYPE),
         write_pos=jnp.int32(0),
         size=jnp.int32(0),
         episodes_added=jnp.int32(0),
@@ -94,7 +110,9 @@ def init_buffer(config: TrainConfig) -> BufferState:
 
 def trajectory_priority(traj: Trajectory) -> Array:
     """Reference priority heuristic: max(1, variance of search values + 0.1)
-    over the real steps (``replay_buffer.py:130-155``)."""
+    over the real steps (``replay_buffer.py:130-155``). Kept for parity and as
+    the episode-level fallback when a trajectory carries no per-step
+    priorities; the live path uses ``traj.priorities`` (paper |ν − z|)."""
     t = traj.values.shape[-1]
     mask = jnp.arange(t)[None, :] < traj.length[:, None]
     n = jnp.maximum(traj.length, 1).astype(jnp.float32)
@@ -105,29 +123,38 @@ def trajectory_priority(traj: Trajectory) -> Array:
 
 @jax.jit
 def add_trajectories(state: BufferState, traj: Trajectory) -> BufferState:
-    """Circular insert of a batch of episodes (``replay_buffer.py:106-128``)."""
+    """Circular insert of a batch of episodes (``replay_buffer.py:106-128``).
+
+    Per-position priorities are floored at 1e-3 inside the episode (every real
+    position stays sampleable) and zeroed outside it; the sampling-time
+    valid-START window (terminated episodes may start anywhere; truncated
+    segments only where a full K-window fits) is applied in
+    :func:`sample_batch`.
+    """
     import chex
 
     batch = traj.length.shape[0]
-    cap = state.priorities.shape[0]
+    cap = state.length.shape[0]
     t = state.actions.shape[1]
     chex.assert_shape(traj.boards, (batch, t + 1, 16))
     chex.assert_shape(traj.actions, (batch, t))
     chex.assert_shape(traj.policies, (batch, t, state.policies.shape[-1]))
+    chex.assert_shape(traj.priorities, (batch, t))
     chex.assert_type(traj.boards, jnp.int8)
     idx = (state.write_pos + jnp.arange(batch)) % cap
-    prios = trajectory_priority(traj)
+    in_ep = jnp.arange(t)[None, :] < traj.length[:, None]
+    prios = jnp.where(in_ep, jnp.maximum(traj.priorities, 1e-3), 0.0)
     return state._replace(
         boards=state.boards.at[idx].set(traj.boards),
         actions=state.actions.at[idx].set(traj.actions),
-        rewards=state.rewards.at[idx].set(traj.rewards),
-        policies=state.policies.at[idx].set(traj.policies),
-        values=state.values.at[idx].set(traj.values),
+        rewards=state.rewards.at[idx].set(traj.rewards.astype(REWARD_DTYPE)),
+        policies=state.policies.at[idx].set(traj.policies.astype(POLICY_DTYPE)),
+        values=state.values.at[idx].set(traj.values.astype(VALUE_DTYPE)),
         length=state.length.at[idx].set(traj.length),
         terminated=state.terminated.at[idx].set(traj.terminated),
         total_reward=state.total_reward.at[idx].set(traj.total_reward),
         max_tile=state.max_tile.at[idx].set(traj.max_tile),
-        priorities=state.priorities.at[idx].set(prios),
+        step_priorities=state.step_priorities.at[idx].set(prios.astype(PRIORITY_DTYPE)),
         write_pos=(state.write_pos + batch) % cap,
         size=jnp.minimum(state.size + batch, cap),
         episodes_added=state.episodes_added + batch,
@@ -135,47 +162,63 @@ def add_trajectories(state: BufferState, traj: Trajectory) -> BufferState:
     )
 
 
+def _sampling_weights(state: BufferState, config: TrainConfig) -> Array:
+    """(cap, T) sampling weights w = p^α over valid window starts, 0 elsewhere."""
+    k = config.num_unroll_steps
+    t = state.actions.shape[1]
+    w = state.step_priorities.astype(jnp.float32)
+    if config.priority_alpha != 1.0:
+        w = jnp.power(w, config.priority_alpha)
+    # Valid start positions: terminated episodes may start anywhere in the
+    # episode (windows cross the end under absorbing-state masking); truncated
+    # segments must fit the whole K-window before the boundary (the game
+    # continues elsewhere — there is no valid target past it).
+    max_start = jnp.where(
+        state.terminated, state.length, jnp.maximum(state.length - k, 1)
+    )
+    valid = (jnp.arange(t)[None, :] < max_start[:, None]) & (
+        jnp.arange(t)[None, :] < state.length[:, None]
+    )
+    return jnp.where(valid, w, 0.0)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def sample_batch(
     state: BufferState, key: Array, batch_size: int, config: TrainConfig
 ) -> tuple[TrainingTargets, Array, Array]:
-    """Prioritized sample of K+1 training windows.
+    """Prioritized sample of K+1 training windows at PER-POSITION granularity.
 
-    Returns (targets with leading batch dim, episode indices, IS weights).
-    Mirrors ``replay_buffer.py:258-359`` with the gather on device:
-    p ∝ priority^α over filled slots; window start uniform over real steps;
-    beyond-terminal positions get value 0, uniform policy, reward 0 (an
-    absorbing-state correction; the reference edge-pads instead,
-    ``replay_buffer.py:319-345``).
+    Returns ``(targets, indices (B, 2) of (episode, start), IS weights)``.
+    Counterpart of ``replay_buffer.py:258-359`` upgraded to the paper's
+    position-level prioritization: (episode, start) ~ p_t^α via the exact
+    two-level factorization (episode ∝ its α-weight mass, then start within
+    the episode), IS weights (N·P)^{-β} max-normalized with N = number of
+    sampleable positions. Beyond-terminal positions get value 0, uniform
+    policy, reward 0 (an absorbing-state correction; the reference edge-pads
+    instead, ``replay_buffer.py:319-345``).
     """
-    priority_alpha = config.priority_alpha
-    priority_beta = config.priority_beta
     action_size = config.action_size
     k = config.num_unroll_steps
-    cap = state.priorities.shape[0]
 
-    valid = jnp.arange(cap) < state.size
-    logp = jnp.where(valid, priority_alpha * jnp.log(jnp.maximum(state.priorities, 1e-9)), -jnp.inf)
-    key_idx, key_start = jax.random.split(key)
-    idx = jax.random.categorical(key_idx, logp, shape=(batch_size,))
+    w = _sampling_weights(state, config)  # (cap, T)
+    ep_mass = jnp.sum(w, axis=-1)  # (cap,)
+    total_mass = jnp.maximum(jnp.sum(ep_mass), 1e-12)
 
-    # Importance-sampling weights (N·p)^{-β}, max-normalized.
-    probs = jax.nn.softmax(logp)
-    p_sel = probs[idx]
-    n = jnp.maximum(state.size, 1).astype(jnp.float32)
-    weights = jnp.power(n * jnp.maximum(p_sel, 1e-12), -priority_beta)
+    key_ep, key_t = jax.random.split(key)
+    ep_logits = jnp.where(ep_mass > 0, jnp.log(jnp.maximum(ep_mass, 1e-12)), -jnp.inf)
+    idx = jax.random.categorical(key_ep, ep_logits, shape=(batch_size,))
+
+    rows = w[idx]  # (B, T)
+    t_logits = jnp.where(rows > 0, jnp.log(jnp.maximum(rows, 1e-12)), -jnp.inf)
+    start = jax.random.categorical(key_t, t_logits, axis=-1).astype(jnp.int32)
+
+    # Importance-sampling weights over the flat position distribution.
+    p_sel = jnp.take_along_axis(rows, start[:, None], axis=-1)[:, 0] / total_mass
+    n = jnp.maximum(jnp.sum((w > 0).astype(jnp.float32)), 1.0)
+    weights = jnp.power(n * jnp.maximum(p_sel, 1e-12), -config.priority_beta)
     weights = weights / jnp.maximum(jnp.max(weights), 1e-12)
 
     lengths = state.length[idx]
-    terminated = state.terminated[idx]
-    # Terminated episodes: windows may cross the end (absorbing-state masking
-    # below teaches terminal values). Truncated segments: the game continues
-    # beyond the stored steps, so windows must stay inside [0, length-K) —
-    # there is no valid target past the boundary.
-    max_start = jnp.where(terminated, lengths, jnp.maximum(lengths - k, 1))
-    start = (jax.random.randint(key_start, (batch_size,), 0, 1 << 30) % jnp.maximum(max_start, 1)).astype(
-        jnp.int32
-    )
 
     offsets = jnp.arange(k + 1)
     t_idx = start[:, None] + offsets[None, :]  # (B, K+1) unclamped
@@ -190,9 +233,15 @@ def sample_batch(
     ).astype(jnp.float32) / 16.0  # (B, K+1, 16) — ops.board.encode_observation convention
 
     actions = jax.vmap(gather_ep, in_axes=(None, 0, 0))(state.actions, idx, t_clamped[:, :k])
-    rewards = jax.vmap(gather_ep, in_axes=(None, 0, 0))(state.rewards, idx, t_clamped[:, :k])
-    policies = jax.vmap(gather_ep, in_axes=(None, 0, 0))(state.policies, idx, t_clamped)
-    values = jax.vmap(gather_ep, in_axes=(None, 0, 0))(state.values, idx, t_clamped)
+    rewards = jax.vmap(gather_ep, in_axes=(None, 0, 0))(state.rewards, idx, t_clamped[:, :k]).astype(
+        jnp.float32
+    )
+    policies = jax.vmap(gather_ep, in_axes=(None, 0, 0))(state.policies, idx, t_clamped).astype(
+        jnp.float32
+    )
+    values = jax.vmap(gather_ep, in_axes=(None, 0, 0))(state.values, idx, t_clamped).astype(
+        jnp.float32
+    )
 
     uniform = jnp.full((action_size,), 1.0 / action_size)
     policies = jnp.where(in_range[..., None], policies, uniform)
@@ -206,15 +255,17 @@ def sample_batch(
         target_values=values,
         target_rewards=rewards,
     )
-    return targets, idx, weights
+    indices = jnp.stack([idx.astype(jnp.int32), start], axis=1)
+    return targets, indices, weights
 
 
 @jax.jit
 def update_priorities(state: BufferState, indices: Array, new_priorities: Array) -> BufferState:
-    """Write back priorities for sampled episodes (``replay_buffer.py:361-374``)."""
-    return state._replace(
-        priorities=state.priorities.at[indices].set(jnp.maximum(new_priorities, 1e-6))
-    )
+    """Write back priorities for sampled (episode, start) positions
+    (``replay_buffer.py:361-374`` — which the reference never calls)."""
+    ep, t = indices[:, 0], indices[:, 1]
+    new = jnp.maximum(new_priorities, 1e-6).astype(PRIORITY_DTYPE)
+    return state._replace(step_priorities=state.step_priorities.at[ep, t].set(new))
 
 
 def is_ready(state: BufferState, min_size: int) -> bool:
@@ -222,17 +273,25 @@ def is_ready(state: BufferState, min_size: int) -> bool:
     return int(state.size) >= min_size
 
 
+def buffer_nbytes(state: BufferState) -> int:
+    """Exact device-memory footprint of the buffer pytree in bytes."""
+    return sum(leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(state))
+
+
 def get_statistics(state: BufferState) -> dict:
     """Host-side summary (``replay_buffer.py:376-404``)."""
     size = int(state.size)
     sl = slice(0, max(size, 1))
+    prios = state.step_priorities[sl].astype(jnp.float32)
+    n_pos = jnp.maximum(jnp.sum((prios > 0).astype(jnp.float32)), 1.0)
     return {
         "size": size,
-        "capacity": int(state.priorities.shape[0]),
+        "capacity": int(state.length.shape[0]),
         "episodes_added": int(state.episodes_added),
         "steps_added": int(state.steps_added),
         "mean_episode_reward": float(jnp.mean(state.total_reward[sl])) if size else 0.0,
         "mean_episode_length": float(jnp.mean(state.length[sl])) if size else 0.0,
         "max_tile": int(jnp.max(state.max_tile[sl])) if size else 0,
-        "mean_priority": float(jnp.mean(state.priorities[sl])) if size else 0.0,
+        "mean_priority": float(jnp.sum(prios) / n_pos) if size else 0.0,
+        "nbytes": buffer_nbytes(state),
     }

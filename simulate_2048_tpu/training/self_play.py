@@ -39,6 +39,9 @@ def search_config_from(config: TrainConfig) -> SearchConfig:
         pb_c_init=config.pb_c_init,
         pb_c_base=config.pb_c_base,
         max_depth=config.search_max_depth,
+        chance_selection=config.chance_selection,
+        pw_c=config.pw_c,
+        pw_alpha=config.pw_alpha,
     )
 
 
@@ -89,9 +92,12 @@ def play_segment(
         legal = envlib.get_legal_actions(state)
         active = ~state.done
 
+        # Root legality masking: simulations never visit illegal root actions
+        # (the reference passes no mask here, ``self_play.py:108`` — wasting
+        # simulations on moves the learned model cannot know are no-ops).
         search_keys = jax.random.split(step_key, num_games + 1)
-        out = jax.vmap(lambda o, k: _search_single(params, apply_fns, o, k, cfg, None))(
-            obs, search_keys[:num_games]
+        out = jax.vmap(lambda o, k, inv: _search_single(params, apply_fns, o, k, cfg, inv))(
+            obs, search_keys[:num_games], ~legal
         )
 
         # Train target at temperature 1.0 (``self_play.py:124``).
@@ -128,12 +134,22 @@ def play_segment(
     active = to_bt(active)
     lengths = jnp.sum(active.astype(jnp.int32), axis=-1)
 
+    values_bt = to_bt(values) * active
+    rewards_bt = to_bt(rewards) * active
+    # Paper App. C per-position priorities: |ν_t − z_t| between the stored
+    # search value and the TD(λ) return. Computed at collection time (the
+    # reference's variance heuristic lives in replay.trajectory_priority for
+    # parity); refreshed by the learner after every sample.
+    returns = compute_n_step_returns(rewards_bt, values_bt, lengths, config, final_state.done)
+    priorities = jnp.abs(values_bt - returns)
+
     traj = Trajectory(
         boards=boards,
         actions=to_bt(actions) * active.astype(jnp.int8),
-        rewards=to_bt(rewards) * active,
+        rewards=rewards_bt,
         policies=to_bt(policies) * active[..., None],
-        values=to_bt(values) * active,
+        values=values_bt,
+        priorities=priorities,
         length=lengths,
         terminated=final_state.done,
         total_reward=final_state.total_reward - initial_total,
@@ -237,8 +253,8 @@ def _evaluate_rollout(
 
         k, sub = jax.random.split(k)
         search_keys = jax.random.split(sub, num_games)
-        out = jax.vmap(lambda o, kk: _search_single(params, apply_fns, o, kk, cfg, None))(
-            obs, search_keys
+        out = jax.vmap(lambda o, kk, inv: _search_single(params, apply_fns, o, kk, cfg, inv))(
+            obs, search_keys, ~legal
         )
         actions = jnp.argmax(jnp.where(legal, out.action_weights, 0.0), axis=-1)
 
@@ -297,7 +313,11 @@ def evaluate_games(
     stats: dict[str, Any] = {
         "mean_reward": float(rewards.mean()),
         "std_reward": float(rewards.std()),
+        # Standard error of the mean: 2048 scores are high-variance, so curve
+        # comparisons need the eval noise quantified (mean ± 1.96·sem ≈ 95% CI).
+        "sem_reward": float(rewards.std() / max(np.sqrt(rewards.size), 1.0)),
         "max_reward": float(rewards.max()),
+        "min_reward": float(rewards.min()),
         "mean_max_tile": float(tiles.mean()),
         "max_tile": int(tiles.max()),
         "mean_length": float(np.asarray(state.step_count).mean()),

@@ -169,8 +169,11 @@ class Trainer:
                 )
                 self.buffer = replay_lib.add_trajectories(self.buffer, traj)
 
-            if fused:
-                n = min(chunk, end_step - step)
+            if fused and end_step - step >= chunk:
+                # Always exactly `chunk` steps per superstep: a ragged tail
+                # (num_steps not a multiple of log_interval) would recompile
+                # the whole fused program for its one-off length — the
+                # remainder runs through the per-step path below instead.
                 self.state, self.buffer, loss_output = train_superstep(
                     self.state,
                     self.buffer,
@@ -178,9 +181,9 @@ class Trainer:
                     self.network.apply_fns,
                     cfg,
                     self._optimizer,
-                    n,
+                    chunk,
                 )
-                step += n
+                step += chunk
             else:
                 batch, indices, weights = replay_lib.sample_batch(
                     self.buffer, self._next_key(), cfg.batch_size, cfg

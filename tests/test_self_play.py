@@ -149,6 +149,7 @@ class TestSegmentedGames:
             rewards=jnp.ones((4, t), jnp.float32),
             policies=jnp.full((4, t, 4), 0.25),
             values=jnp.full((4, t), 7.0),  # sentinel: never 0 inside the segment
+            priorities=jnp.ones((4, t), jnp.float32),
             length=jnp.full((4,), t, jnp.int32),
             terminated=jnp.zeros((4,), bool),  # all truncated
             total_reward=jnp.ones((4,)),

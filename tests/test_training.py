@@ -44,6 +44,7 @@ def make_trajectories(batch: int, length_each: int, cfg=CFG, seed: int = 0) -> T
             np.full((batch, t, 4), 0.25, np.float32)
         ),
         values=jnp.asarray(rs.rand(batch, t).astype(np.float32) * 10),
+        priorities=jnp.asarray(rs.rand(batch, t).astype(np.float32) + 0.1),
         length=jnp.asarray(lengths),
         terminated=jnp.ones(batch, bool),
         total_reward=jnp.asarray(rs.rand(batch).astype(np.float32) * 100),
@@ -85,12 +86,13 @@ class TestLosses:
             assert np.isfinite(float(v))
 
     def test_encoder_mode_trains_commitment(self, net):
-        total, out = compute_loss(net.params, net.apply_fns, self._batch(), CFG)
+        cfg = replace(CFG, chance_target_mode="encoder")
+        total, out = compute_loss(net.params, net.apply_fns, self._batch(), cfg)
         # encoder mode: chance loss targets real codes; commitment active.
         assert float(out.commitment_loss) >= 0.0
         # gradient flows into the encoder (the reference's never does).
         grads = jax.grad(
-            lambda p: compute_loss(p, net.apply_fns, self._batch(), CFG)[0]
+            lambda p: compute_loss(p, net.apply_fns, self._batch(), cfg)[0]
         )(net.params)
         enc_norm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads.encoder))
         assert enc_norm > 0.0
@@ -141,7 +143,10 @@ class TestReplayBuffer:
         assert batch.target_values.shape == (8, k + 1)
         assert batch.target_rewards.shape == (8, k)
         assert weights.shape == (8,) and float(weights.max()) <= 1.0 + 1e-6
-        assert np.asarray(idx).max() < 16
+        # indices are (episode, start) pairs at position granularity.
+        assert idx.shape == (8, 2)
+        assert np.asarray(idx)[:, 0].max() < 16
+        assert (np.asarray(idx)[:, 1] < 30).all()
 
     def test_beyond_terminal_masking(self):
         # length-1 episodes: every window crosses the terminal.
@@ -152,17 +157,157 @@ class TestReplayBuffer:
         assert float(jnp.abs(batch.target_rewards[:, 1:]).max()) == 0.0
         np.testing.assert_allclose(np.asarray(batch.target_policies[:, 1:]), 0.25)
 
-    def test_priority_sampling_prefers_high_priority(self):
-        buf = add_trajectories(init_buffer(CFG), make_trajectories(32, 10))
-        hot = jnp.zeros(32).at[7].set(1.0) * 1e6
-        buf = update_priorities(buf, jnp.arange(32), jnp.maximum(hot, 1e-3))
+    def test_priority_sampling_prefers_high_priority_position(self):
+        # Paper App. C: sampling is at (episode, step) granularity — boost ONE
+        # position and nearly all draws must land exactly on it.
+        traj = make_trajectories(32, 10)
+        traj = traj._replace(priorities=jnp.full_like(traj.priorities, 1e-3))
+        buf = add_trajectories(init_buffer(CFG), traj)
+        hot = jnp.array([[7, 3]], jnp.int32)  # (episode 7, step 3)
+        buf = update_priorities(buf, hot, jnp.array([1e6]))
         _, idx, _ = sample_batch(buf, jax.random.PRNGKey(1), 64, CFG)
-        assert (np.asarray(idx) == 7).mean() > 0.9
+        idx = np.asarray(idx)
+        assert ((idx[:, 0] == 7) & (idx[:, 1] == 3)).mean() > 0.9
+
+    def test_is_weights_correct_high_priority_oversampling(self):
+        # The oversampled hot position must carry the SMALLEST IS weight.
+        traj = make_trajectories(8, 10)
+        traj = traj._replace(priorities=jnp.ones_like(traj.priorities))
+        buf = add_trajectories(init_buffer(CFG), traj)
+        buf = update_priorities(buf, jnp.array([[2, 5]], jnp.int32), jnp.array([100.0]))
+        _, idx, w = sample_batch(buf, jax.random.PRNGKey(2), 64, CFG)
+        idx, w = np.asarray(idx), np.asarray(w)
+        hot = (idx[:, 0] == 2) & (idx[:, 1] == 5)
+        if hot.any() and (~hot).any():
+            assert w[hot].max() < w[~hot].min()
 
     def test_trajectory_priority_reference_rule(self):
         traj = make_trajectories(4, 10)
         p = np.asarray(trajectory_priority(traj))
         assert (p >= 1.0).all()
+
+
+class TestOracleChance:
+    """Ground-truth chance codes (VERDICT item 2): 2048's spawn is observed,
+    code = 2·cell + is_four over the 16×{2,4} = 32-outcome space."""
+
+    def _window(self, spawn_cell=7, spawn_exp=1, action=0):
+        """Build a K-step observation window with known spawns.
+
+        Every step applies `action` to the previous board and places a spawn
+        of `spawn_exp` at `spawn_cell` (assumed empty in the afterstate).
+        """
+        from simulate_2048_tpu.ops import board as board_ops
+
+        k = CFG.num_unroll_steps
+        board = jnp.zeros((4, 4), jnp.int32).at[0, 0].set(1).at[3, 3].set(2)
+        boards = [board]
+        for _ in range(k):
+            after, _ = board_ops.apply_action(boards[-1], jnp.int32(action))
+            flat = after.reshape(16)
+            assert int(flat[spawn_cell]) == 0, "test setup: spawn cell must be empty"
+            boards.append(flat.at[spawn_cell].set(spawn_exp).reshape(4, 4))
+        obs = jnp.stack([b.reshape(16).astype(jnp.float32) / 16.0 for b in boards])
+        actions = jnp.full((k,), action, jnp.int32)
+        return obs, actions
+
+    def test_recovers_known_spawn_codes(self):
+        from simulate_2048_tpu.training.losses import oracle_chance_targets
+
+        obs, actions = self._window(spawn_cell=7, spawn_exp=1)
+        onehot, target, spawned = oracle_chance_targets(obs, actions, 32)
+        assert np.asarray(spawned).all()
+        np.testing.assert_array_equal(np.asarray(onehot).argmax(-1), 2 * 7 + 0)
+
+        obs4, actions4 = self._window(spawn_cell=11, spawn_exp=2)
+        onehot4, _, _ = oracle_chance_targets(obs4, actions4, 32)
+        np.testing.assert_array_equal(np.asarray(onehot4).argmax(-1), 2 * 11 + 1)
+
+    def test_no_spawn_is_masked(self):
+        from simulate_2048_tpu.training.losses import oracle_chance_targets
+
+        # Repeated identical boards (terminal padding / invalid move): the
+        # board never changes, so no chance event exists.
+        k = CFG.num_unroll_steps
+        board = jnp.zeros((16,), jnp.float32).at[0].set(1.0 / 16.0)
+        obs = jnp.tile(board, (k + 1, 1))
+        _, _, spawned = oracle_chance_targets(obs, jnp.zeros((k,), jnp.int32), 32)
+        assert not np.asarray(spawned).any()
+
+    def test_exact_distribution_matches_spawn_law(self):
+        from simulate_2048_tpu.ops import board as board_ops
+        from simulate_2048_tpu.training.losses import oracle_chance_targets
+
+        obs, actions = self._window(spawn_cell=7, spawn_exp=1)
+        _, dist, spawned = oracle_chance_targets(obs, actions, 32, exact_dist=True)
+        dist = np.asarray(dist)
+        np.testing.assert_allclose(dist.sum(-1), 1.0, rtol=1e-5)
+        # Check step 0 against the afterstate's empty-cell law.
+        boards = np.asarray(jnp.round(obs * 16).astype(jnp.int32)).reshape(-1, 4, 4)
+        after, _ = board_ops.apply_action(jnp.asarray(boards[0]), jnp.int32(0))
+        empty = (np.asarray(after).reshape(16) == 0)
+        n = empty.sum()
+        expect = np.zeros(32)
+        expect[0::2][empty] = 0.9 / n
+        expect[1::2][empty] = 0.1 / n
+        np.testing.assert_allclose(dist[0], expect, rtol=1e-5)
+
+    def test_oracle_loss_trains_without_encoder(self):
+        net = create_network(jax.random.PRNGKey(0), hidden_size=16, num_blocks=1)
+        obs, actions = self._window()
+        batch = TrainingTargets(
+            observations=obs[None],
+            actions=actions[None],
+            target_policies=jnp.full((1, CFG.num_unroll_steps + 1, 4), 0.25),
+            target_values=jnp.ones((1, CFG.num_unroll_steps + 1)),
+            target_rewards=jnp.zeros((1, CFG.num_unroll_steps)),
+        )
+        cfg = replace(CFG, chance_target_mode="oracle")
+        total, out = compute_loss(net.params, net.apply_fns, batch, cfg)
+        assert np.isfinite(float(total)) and float(out.chance_loss) > 0
+        grads = jax.grad(lambda p: compute_loss(p, net.apply_fns, batch, cfg)[0])(net.params)
+        enc = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads.encoder))
+        psi = sum(
+            float(jnp.sum(jnp.abs(g)))
+            for g in jax.tree.leaves(grads.afterstate_prediction)
+        )
+        assert enc == 0.0  # no encoder in the loop -> no collapse dynamics
+        assert psi > 0.0  # chance CE reaches the afterstate-prediction net
+
+    def test_oracle_rejects_small_codebook(self):
+        with pytest.raises(ValueError):
+            replace(CFG, codebook_size=16, chance_target_mode="oracle")
+
+
+class TestBufferFootprint:
+    def test_full_config_fits_budget(self):
+        """Full-config (125k × 200) buffer must stay well under HBM pressure:
+        compressed dtypes keep it < 0.85 GB (all-f32 would be ~1.45 GB with
+        per-step priorities)."""
+        from simulate_2048_tpu.training import default_config
+        from simulate_2048_tpu.training.replay import init_buffer as _init
+
+        cfg = default_config()
+        shapes = jax.eval_shape(lambda: _init(cfg))
+        nbytes = sum(
+            int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+            for leaf in jax.tree.leaves(shapes)
+        )
+        assert nbytes < 0.85 * 2**30, f"buffer footprint {nbytes/2**30:.2f} GiB"
+
+    def test_dtype_roundtrip_precision(self):
+        """Stored-dtype round-trip keeps targets within training tolerance."""
+        buf = add_trajectories(init_buffer(CFG), make_trajectories(4, 30))
+        batch, _, _ = sample_batch(buf, jax.random.PRNGKey(0), 16, CFG)
+        assert batch.target_policies.dtype == jnp.float32
+        assert batch.target_values.dtype == jnp.float32
+        # policies stored f16: abs error < 1e-3 on probabilities.
+        assert float(jnp.abs(batch.target_policies - 0.25).max()) < 1e-3
+        # values stored bf16: rel error < 1% at these magnitudes.
+        raw = np.asarray(buf.values[:4], np.float32)
+        orig = np.asarray(make_trajectories(4, 30).values)
+        rel = np.abs(raw - orig) / np.maximum(np.abs(orig), 1e-6)
+        assert rel.max() < 0.01
 
 
 class TestNStepReturns:
@@ -248,7 +393,7 @@ class TestEncoderNoise:
 
     def test_loss_runs_with_noise(self):
         net = create_network(jax.random.PRNGKey(0), hidden_size=16, num_blocks=1)
-        cfg = replace(CFG, encoder_noise_scale=1.0)
+        cfg = replace(CFG, chance_target_mode="encoder", encoder_noise_scale=1.0)
         rs = np.random.RandomState(1)
         k = cfg.num_unroll_steps
         batch = TrainingTargets(
