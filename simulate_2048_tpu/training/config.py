@@ -169,8 +169,14 @@ class TrainConfig:
 
 
 def default_config() -> TrainConfig:
-    """Paper Appendix-C configuration (``config.py:117-126``)."""
-    return TrainConfig()
+    """Paper Appendix-C configuration (``config.py:117-126``).
+
+    The full preset computes residual towers in bfloat16 (MXU-native; params
+    and LayerNorm stats stay f32) — see ``scripts/benchmark_training.py``'s
+    fp32-vs-bf16 numbers in docs/project.md. Flip with
+    ``--set use_bfloat16=False``.
+    """
+    return TrainConfig(use_bfloat16=True)
 
 
 def small_config() -> TrainConfig:
@@ -180,7 +186,7 @@ def small_config() -> TrainConfig:
         num_residual_blocks=5,
         num_simulations=50,
         replay_buffer_size=10_000,
-        min_buffer_size=100,
+        min_buffer_size=500,
         batch_size=256,
         training_steps=100_000,
         checkpoint_interval=100,

@@ -136,12 +136,9 @@ def play_segment(
 
     values_bt = to_bt(values) * active
     rewards_bt = to_bt(rewards) * active
-    # Paper App. C per-position priorities: |ν_t − z_t| between the stored
-    # search value and the TD(λ) return. Computed at collection time (the
-    # reference's variance heuristic lives in replay.trajectory_priority for
-    # parity); refreshed by the learner after every sample.
-    returns = compute_n_step_returns(rewards_bt, values_bt, lengths, config, final_state.done)
-    priorities = jnp.abs(values_bt - returns)
+    priorities = collection_priorities(
+        rewards_bt, values_bt, lengths, config, final_state.done
+    )
 
     traj = Trajectory(
         boards=boards,
@@ -369,6 +366,28 @@ def warmup_self_play(
     )
     jax.block_until_ready(traj.length)
     return time.perf_counter() - t0
+
+
+def collection_priorities(
+    rewards: Array, values: Array, lengths: Array, config: TrainConfig, terminated: Array
+) -> Array:
+    """Paper App. C per-position priorities at collection time.
+
+    p_t = |h(ν_t) − h(z_t)| between the stored search value and the TD(λ)
+    return, in h-SCALED space — matching the learner's refresh rule
+    (|v̂₀ − h(z₀)|, ``learner.train_step``). Scale consistency is
+    load-bearing: raw-space collection priorities are ~100× the scaled-space
+    refreshed ones, which would skew sampling so hard toward the newest
+    segments that the rest of the buffer goes unused. (The reference's
+    variance heuristic lives in ``replay.trajectory_priority`` for parity.)
+    """
+    from simulate_2048_tpu.training.losses import scale_value
+
+    returns = compute_n_step_returns(rewards, values, lengths, config, terminated)
+    return jnp.abs(
+        scale_value(values, config.value_epsilon)
+        - scale_value(returns, config.value_epsilon)
+    )
 
 
 @partial(jax.jit, static_argnums=(3,))

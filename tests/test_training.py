@@ -310,6 +310,28 @@ class TestBufferFootprint:
         assert rel.max() < 0.01
 
 
+class TestCollectionPriorities:
+    def test_scaled_space_consistency_with_learner_refresh(self):
+        """Collection-time priorities MUST live in the same h-scaled space as
+        the learner's refresh (|v̂₀ − h(z₀)|): raw-space values of a ~2000-
+        score game would be ~100× the refreshed ones, monopolizing sampling
+        for the newest segments (observed as an eval collapse in the first
+        round-2 soak)."""
+        from simulate_2048_tpu.training.self_play import collection_priorities
+
+        # Search values ~2000 with a large raw-space TD gap.
+        values = jnp.full((2, 8), 2000.0)
+        rewards = jnp.full((2, 8), 4.0)
+        lengths = jnp.full((2,), 8, jnp.int32)
+        terminated = jnp.ones((2,), bool)
+        p = np.asarray(
+            collection_priorities(rewards, values, lengths, CFG, terminated)
+        )
+        # h(2000) ≈ 45: scaled-space TD gaps are O(1..50), never O(raw).
+        assert p.max() < 50.0
+        assert (p >= 0).all()
+
+
 class TestNStepReturns:
     def test_matches_manual_recursion(self):
         cfg = CFG
