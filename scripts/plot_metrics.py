@@ -75,10 +75,15 @@ def main() -> None:
     ax = axes[1, 0]
     xs, ys = series(eval_rows, "eval/mean_reward")
     ax.plot(xs, ys, marker="o", ms=3)
-    xs, ys = series(eval_rows, "eval/max_reward")
-    if xs:
-        ax.plot(xs, ys, alpha=0.4, label="max")
-        ax.legend(fontsize=7)
+    sx, sem = series(eval_rows, "eval/sem_reward")
+    if sx and len(sx) == len(xs):
+        lo = [y - 1.96 * s for y, s in zip(ys, sem)]
+        hi = [y + 1.96 * s for y, s in zip(ys, sem)]
+        ax.fill_between(xs, lo, hi, alpha=0.2, label="95% CI")
+    xs2, ys2 = series(eval_rows, "eval/max_reward")
+    if xs2:
+        ax.plot(xs2, ys2, alpha=0.4, label="max")
+    ax.legend(fontsize=7)
     ax.set_title("eval reward (greedy)")
 
     ax = axes[1, 1]
