@@ -29,10 +29,19 @@ import jax
 import jax.numpy as jnp
 
 from simulate_2048_tpu.models.network import NetworkApplyFns, NetworkParams
+from simulate_2048_tpu.ops.value_transform import inverse_scale_value
 from simulate_2048_tpu.search import tree as tree_lib
 from simulate_2048_tpu.search.tree import NEG_INF, ROOT, UNVISITED, Tree
 
 Array = jax.Array
+
+
+def _untransform_fn(cfg: "SearchConfig"):
+    """h⁻¹ on network value/reward outputs, or identity (see SearchConfig)."""
+    eps = cfg.value_transform_epsilon
+    if eps is None:
+        return lambda x: x
+    return lambda x: inverse_scale_value(x, eps)
 
 
 class SearchConfig(NamedTuple):
@@ -69,6 +78,17 @@ class SearchConfig(NamedTuple):
     # disables widening (every code is always a candidate).
     pw_c: float | None = None
     pw_alpha: float = 0.5
+    # Networks predict value/reward in h-SCALED space (the training loss
+    # regresses toward h(z), ``training/losses.py``), but tree backups compute
+    # r + γ·v — only meaningful in RAW (linear) space. When set, every network
+    # value/q/reward output is passed through h⁻¹(·, ε) before entering the
+    # tree, so backups, PUCT Q-values and the returned ``search_value`` are
+    # raw returns. The reference feeds h-space outputs straight into mctx's
+    # linear backup (``stochastic_mctx.py:105-212``); keeping that behavior
+    # (None, the default here — training sets ε via
+    # ``TrainConfig.search_untransform_values``) collapses the learned value
+    # horizon to ~td_steps of raw reward (docs/project.md round-2 analysis).
+    value_transform_epsilon: float | None = None
 
 
 class PolicyOutput(NamedTuple):
@@ -315,16 +335,19 @@ def _expand_and_backup(
     parent_emb = tree.embedding[parent]
     parent_is_dec = tree.is_decision[parent]
     k = tree.prior_probs.shape[-1]
+    untf = _untransform_fn(cfg)
 
     # Decision parent → chance child: φ then ψ (``stochastic_mctx.py:119-165``).
     a_onehot = jax.nn.one_hot(jnp.minimum(edge, cfg.num_actions - 1), cfg.num_actions)
     afterstate = apply_fns.afterstate_dynamics(params.afterstate_dynamics, parent_emb, a_onehot)
     q_value, chance_logits = apply_fns.afterstate_prediction(params.afterstate_prediction, afterstate)
+    q_value = untf(q_value)
 
     # Chance parent → decision child: g then f (``stochastic_mctx.py:167-215``).
     c_onehot = jax.nn.one_hot(jnp.minimum(edge, cfg.codebook_size - 1), cfg.codebook_size)
     hidden, reward = apply_fns.dynamics(params.dynamics, parent_emb, c_onehot)
     action_logits, value = apply_fns.prediction(params.prediction, hidden)
+    value, reward = untf(value), untf(reward)
 
     def pad_probs(logits: Array) -> Array:
         # softmax once at expansion; padded slots stay exactly 0.
@@ -372,6 +395,7 @@ def _search_single(
     """One full search for one observation (vmap adds the batch dim)."""
     hidden = apply_fns.representation(params.representation, observation)
     root_logits, root_value = apply_fns.prediction(params.prediction, hidden)
+    root_value = _untransform_fn(cfg)(root_value)
 
     # Root exploration noise: π ← (1-ρ)·π + ρ·Dir(α)
     # (mctx's root noise scheme with the reference's ρ=0.1, α=0.25).

@@ -49,6 +49,14 @@ class TrainConfig:
     chance_selection: str = "argmax"
     pw_c: float | None = None
     pw_alpha: float = 0.5
+    # Search in RAW value space: networks predict in h-scaled space, so their
+    # value/q/reward outputs are passed through h⁻¹ before the tree's linear
+    # r + γ·v backups (paper-faithful). False reproduces the reference, which
+    # feeds h-space outputs straight into mctx (``stochastic_mctx.py:105-212``)
+    # — that mixes h-space bootstraps with raw rewards in TD targets and
+    # collapses the learned value horizon to ~td_steps of raw reward
+    # (docs/project.md round-2 soak analysis).
+    search_untransform_values: bool = True
 
     # Temperature schedule [(step, temperature), …] (paper: greedy from 300k).
     temperature_schedule: tuple[tuple[int, float], ...] = (
@@ -78,6 +86,13 @@ class TrainConfig:
     weight_decay: float = 0.0
     max_grad_norm: float = 5.0
     warmup_steps: int = 1_000
+    # Post-warmup cosine decay horizon. None = constant LR after warmup (the
+    # paper/reference schedule, ``learner.py:54-90`` — tuned for 20M-step
+    # runs). Short soaks at batch ≤256 measurably churn past their
+    # end-of-warmup peak at constant 3e-4 (docs/project.md round-2 A/Bs);
+    # set this to ≈ the planned run length to consolidate instead.
+    lr_decay_steps: int | None = None
+    lr_final_fraction: float = 0.1
 
     # Schedule.
     training_steps: int = 20_000_000

@@ -39,12 +39,21 @@ class TrainState(NamedTuple):
 
 
 def create_optimizer(config: TrainConfig) -> optax.GradientTransformation:
-    """Linear warmup → constant LR, global-norm clip, Adam
-    (``learner.py:54-90``)."""
+    """Linear warmup → constant LR (reference schedule, ``learner.py:54-90``)
+    or, with ``config.lr_decay_steps`` set, warmup → cosine decay to
+    ``lr_final_fraction``·LR over that horizon; global-norm clip, Adam."""
+    if config.lr_decay_steps is not None:
+        post_warmup = optax.cosine_decay_schedule(
+            config.learning_rate,
+            decay_steps=max(config.lr_decay_steps - config.warmup_steps, 1),
+            alpha=config.lr_final_fraction,
+        )
+    else:
+        post_warmup = optax.constant_schedule(config.learning_rate)
     schedule = optax.join_schedules(
         [
             optax.linear_schedule(0.0, config.learning_rate, config.warmup_steps),
-            optax.constant_schedule(config.learning_rate),
+            post_warmup,
         ],
         boundaries=[config.warmup_steps],
     )

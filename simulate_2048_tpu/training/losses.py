@@ -62,15 +62,12 @@ class TrainingTargets(NamedTuple):
     target_rewards: Array  # (K,)
 
 
-def scale_value(value: Array, epsilon: float = 0.001) -> Array:
-    """h(x) = sign(x)(√(|x|+1) − 1) + εx (``losses.py:63-84``)."""
-    return jnp.sign(value) * (jnp.sqrt(jnp.abs(value) + 1) - 1) + epsilon * value
-
-
-def inverse_scale_value(scaled: Array, epsilon: float = 0.001) -> Array:
-    """h⁻¹ (``losses.py:87-108``)."""
-    inside = 1 + 4 * epsilon * (jnp.abs(scaled) + 1 + epsilon)
-    return jnp.sign(scaled) * (jnp.square((jnp.sqrt(inside) - 1) / (2 * epsilon)) - 1)
+# Canonical home is ops.value_transform (the search layer needs h⁻¹ too);
+# re-exported here for the established training API.
+from simulate_2048_tpu.ops.value_transform import (  # noqa: F401
+    inverse_scale_value,
+    scale_value,
+)
 
 
 def policy_loss(predicted_logits: Array, target_policy: Array) -> Array:

@@ -42,6 +42,9 @@ def search_config_from(config: TrainConfig) -> SearchConfig:
         chance_selection=config.chance_selection,
         pw_c=config.pw_c,
         pw_alpha=config.pw_alpha,
+        value_transform_epsilon=(
+            config.value_epsilon if config.search_untransform_values else None
+        ),
     )
 
 
@@ -406,30 +409,41 @@ def compute_n_step_returns(
 
     Implemented as a backward scan of the TD(λ) recursion
     G_t = r_t + γ[(1-λ) v_{t+1} + λ G_{t+1}], truncated at episode end.
-    ``terminated`` (per episode) selects the boundary bootstrap: True ⇒ the
-    game ended, terminal value 0; False ⇒ the SEGMENT ended mid-game, so the
-    tail bootstraps from the last stored search value.
+    ``terminated`` (per episode) selects the boundary treatment: True ⇒ the
+    game ended, so the last step's target is r_last (terminal value 0);
+    False ⇒ the SEGMENT ended mid-game, so the target AT the last stored
+    position is its own search value ν_last (the whole unobserved tail is the
+    bootstrap) and the recursion proceeds backward from there. Overwriting
+    the boundary target — rather than injecting ν into only the (1-λ) branch
+    while the λ branch carries 0 — matters: the latter (this function's
+    round-1/round-2-v2 behavior) silently dropped a λ·γ·ν term at EVERY
+    segment boundary, shaving ~λ of the bootstrap mass each time a game
+    crossed a segment — a bias that compounds across segment chains exactly
+    when the agent starts playing games longer than one segment
+    (docs/project.md round-2 soak analysis).
     """
     gamma, lam = config.discount, config.td_lambda
     t_max = rewards.shape[-1]
     steps = jnp.arange(t_max)
     in_ep = steps[None, :] < lengths[:, None]  # (B, T)
 
-    v_next = jnp.concatenate([values[:, 1:], jnp.zeros_like(values[:, :1])], axis=-1)
-    last = jnp.maximum(lengths - 1, 0)
-    boundary_v = jnp.where(
-        terminated if terminated is not None else jnp.ones_like(lengths, bool),
-        0.0,
-        jnp.take_along_axis(values, last[:, None], axis=-1)[:, 0],
+    term = (
+        terminated if terminated is not None else jnp.ones_like(lengths, dtype=bool)
     )
+    last = jnp.maximum(lengths - 1, 0)
+    last_value = jnp.take_along_axis(values, last[:, None], axis=-1)[:, 0]
     is_last = steps[None, :] + 1 == lengths[:, None]
+    # Positions whose target is forced to ν_last (truncated-segment boundary).
+    force = is_last & ~term[:, None]
+
+    v_next = jnp.concatenate([values[:, 1:], jnp.zeros_like(values[:, :1])], axis=-1)
     v_next = jnp.where(steps[None, :] + 1 < lengths[:, None], v_next, 0.0)
-    v_next = jnp.where(is_last, boundary_v[:, None], v_next)
 
     def backward(carry, xs):
         g_next = carry
-        r, vn, mask = xs
+        r, vn, mask, f = xs
         g = r + gamma * ((1 - lam) * vn + lam * g_next)
+        g = jnp.where(f, last_value, g)
         g = jnp.where(mask, g, 0.0)
         return g, g
 
@@ -437,6 +451,7 @@ def compute_n_step_returns(
         jnp.moveaxis(rewards, 1, 0)[::-1],
         jnp.moveaxis(v_next, 1, 0)[::-1],
         jnp.moveaxis(in_ep, 1, 0)[::-1],
+        jnp.moveaxis(force, 1, 0)[::-1],
     )
     _, gs = jax.lax.scan(backward, jnp.zeros(rewards.shape[0]), xs)
     return jnp.moveaxis(gs[::-1], 0, 1)

@@ -407,3 +407,35 @@ class TestTreeInvariants:
             )
             if tree.node_visit[node] > 0:
                 assert tree.node_visit[node] == 1 + kid_visits
+
+
+class TestValueSpaceUntransform:
+    """Networks predict in h-space; with ``value_transform_epsilon`` set the
+    tree backs up RAW values (``SearchConfig.value_transform_epsilon``)."""
+
+    def _h_space_fns(self, raw: float):
+        from simulate_2048_tpu.ops.value_transform import scale_value
+
+        h = float(scale_value(jnp.float32(raw)))
+        # f and ψ both report h(raw) everywhere; rewards 0 ⇒ with γ=1 every
+        # backed-up value is exactly `raw` when untransformed.
+        return mock_apply_fns(q_per_action=(h,) * A, leaf_value=h), h
+
+    def test_untransform_recovers_raw_values(self):
+        raw = 40.0
+        fns, _ = self._h_space_fns(raw)
+        cfg = CFG._replace(value_transform_epsilon=0.001, discount=1.0)
+        out = run_mcts(MOCK_PARAMS, fns, jnp.zeros(16), jax.random.PRNGKey(0), cfg)
+        np.testing.assert_allclose(float(out.search_value), raw, rtol=1e-4)
+        q = np.asarray(out.qvalues)
+        visited = np.asarray(out.visit_counts) > 0
+        np.testing.assert_allclose(q[visited], raw, rtol=1e-4)
+
+    def test_default_is_identity_passthrough(self):
+        # value_transform_epsilon=None reproduces the reference's behavior:
+        # h-space outputs enter the tree verbatim (stochastic_mctx.py:105-212).
+        raw = 40.0
+        fns, h = self._h_space_fns(raw)
+        cfg = CFG._replace(discount=1.0)
+        out = run_mcts(MOCK_PARAMS, fns, jnp.zeros(16), jax.random.PRNGKey(0), cfg)
+        np.testing.assert_allclose(float(out.search_value), h, rtol=1e-4)

@@ -346,6 +346,25 @@ class TestNStepReturns:
         np.testing.assert_allclose(g[:3], [g0, g1, g2], rtol=1e-5)
         assert g[3] == 0.0  # beyond episode
 
+    def test_truncated_boundary_bootstraps_full_search_value(self):
+        # Segment ends mid-game: the last stored position's target is its own
+        # search value ν_last — the FULL bootstrap, not γ(1−λ)ν (which would
+        # shave λ of the tail mass at every segment boundary).
+        cfg = CFG
+        gamma, lam = cfg.discount, cfg.td_lambda
+        rewards = jnp.array([[1.0, 2.0, 3.0, 99.0]])
+        values = jnp.array([[0.5, 0.6, 10.0, 99.0]])
+        lengths = jnp.array([3])
+        terminated = jnp.array([False])
+        g = np.asarray(
+            compute_n_step_returns(rewards, values, lengths, cfg, terminated)
+        )[0]
+        g2 = 10.0  # ν_last verbatim
+        g1 = 2.0 + gamma * ((1 - lam) * 10.0 + lam * g2)  # = 2 + γ·10
+        g0 = 1.0 + gamma * ((1 - lam) * 0.6 + lam * g1)
+        np.testing.assert_allclose(g[:3], [g0, g1, g2], rtol=1e-5)
+        assert g[3] == 0.0
+
 
 class TestLearner:
     def test_train_step_reduces_loss_and_updates(self):
