@@ -294,7 +294,7 @@ class ActorClient:
         """``num_generations`` rounds of pull-params → play → push."""
         for gen in range(num_generations):
             params = self.fetch_params()
-            self._env_state, traj = generate_games(
+            self._env_state, traj, _ = generate_games(
                 params,
                 self._network.apply_fns,
                 self._next_key(),

@@ -109,6 +109,11 @@ class TrainConfig:
     # moves too, clipping measurable strength — reaching 2048 takes ~950+).
     eval_max_moves: int = 1_200
 
+    # Stop generating new self-play data once the learner reaches this step
+    # (None = never). Diagnostic knob for the round-2 decline A/Bs: training
+    # past the freeze point isolates optimization churn from data poisoning.
+    freeze_data_after: int | None = None
+
     # Self-play. Same games-per-train-step ratio as the reference
     # (8 games / 100 steps, ``config.py:79-80``) but in TPU-sized batches:
     # tiny per-move MCTS batches are dispatch-latency-bound on accelerators.

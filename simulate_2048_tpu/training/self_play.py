@@ -11,7 +11,7 @@ trajectory recording all stay on device; the host sees only the finished
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,25 @@ from simulate_2048_tpu.training.config import TrainConfig
 from simulate_2048_tpu.training.replay import Trajectory
 
 Array = jax.Array
+
+
+class GenStats(NamedTuple):
+    """On-device collection diagnostics for one self-play segment.
+
+    The round-2 soaks all peaked at their first eval then declined
+    (docs/project.md) with no collection-side signal logged to localize the
+    regression — these are the aggregates needed to tell *data* drift
+    (completed-game scores, policy-target entropy) from *target* drift
+    (search values vs TD targets). Sums + counts, so the host computes means
+    after a single small transfer.
+    """
+
+    completed: Array  # games finished inside this segment
+    completed_score_sum: Array  # their full-game scores (env total_reward)
+    completed_length_sum: Array  # their full-game lengths (moves)
+    active_positions: Array  # stored (non-padding) positions in the segment
+    policy_entropy_sum: Array  # entropy of stored policy targets
+    search_value_sum: Array  # raw-space MCTS root values ν
 
 
 def search_config_from(config: TrainConfig) -> SearchConfig:
@@ -155,7 +174,21 @@ def play_segment(
         total_reward=final_state.total_reward - initial_total,
         max_tile=ops.max_tile(boards[:, -1].reshape(num_games, 4, 4).astype(jnp.int32)),
     )
-    return envlib.reset_done(final_state), traj
+
+    # Collection diagnostics, before dead lanes are reseeded (every lane is
+    # active at segment entry, so done-at-end ⇔ the game finished here).
+    policies_bt = traj.policies
+    entropy = -jnp.sum(policies_bt * jnp.log(jnp.maximum(policies_bt, 1e-12)), axis=-1)
+    done = final_state.done
+    stats = GenStats(
+        completed=jnp.sum(done.astype(jnp.int32)),
+        completed_score_sum=jnp.sum(jnp.where(done, final_state.total_reward, 0.0)),
+        completed_length_sum=jnp.sum(jnp.where(done, final_state.step_count, 0)),
+        active_positions=jnp.sum(lengths),
+        policy_entropy_sum=jnp.sum(entropy * active),
+        search_value_sum=jnp.sum(values_bt),
+    )
+    return envlib.reset_done(final_state), traj, stats
 
 
 @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7))
@@ -179,7 +212,7 @@ def play_games(
     key, reset_key = jax.random.split(key)
     run_seed = jax.random.randint(reset_key, (), 0, 1 << 30, dtype=jnp.int32).astype(jnp.uint32)
     state = envlib.reset_batch(run_seed, num_games)
-    _, traj = play_segment(
+    _, traj, _ = play_segment(
         params, apply_fns, state, key, temperature, config, num_games, greedy, num_steps
     )
     return traj
@@ -205,11 +238,15 @@ def generate_games(
     With ``config.value_target_mode == "td_lambda"`` the stored value targets
     are TD(λ) n-step returns over the trajectories instead of raw search
     values (see :func:`compute_n_step_returns`).
+
+    Segment mode returns ``(next_env_state, trajectory, gen_stats)`` where
+    ``gen_stats`` is a :class:`GenStats` of on-device collection diagnostics
+    (finish with :func:`finish_gen_stats` for loggable means).
     """
     temperature = jnp.float32(config.get_temperature(training_step))
     n = num_games or config.num_parallel_games
     if env_state is not None:
-        next_state, traj = play_segment(
+        next_state, traj, stats = play_segment(
             params, apply_fns, env_state, key, temperature, config, n, False
         )
     else:
@@ -219,7 +256,33 @@ def generate_games(
             traj.rewards, traj.values, traj.length, config, traj.terminated
         )
         traj = traj._replace(values=returns)
-    return (next_state, traj) if env_state is not None else traj
+    return (next_state, traj, stats) if env_state is not None else traj
+
+
+def finish_gen_stats(stats: GenStats, traj: Trajectory) -> dict[str, float]:
+    """Collection diagnostics → loggable means (one small host transfer).
+
+    ``traj`` must be the trajectory generate_games returned alongside
+    ``stats`` — its ``values`` hold the final stored TARGETS (TD(λ) returns
+    in td_lambda mode), so target scale and |ν − z| calibration are logged
+    per generation too.
+    """
+    import numpy as np
+
+    n_pos = max(int(stats.active_positions), 1)
+    n_done = max(int(stats.completed), 1)
+    targets = np.asarray(traj.values, np.float32)
+    priorities = np.asarray(traj.priorities, np.float32)
+    return {
+        "gen/completed_games": int(stats.completed),
+        "gen/completed_score": float(stats.completed_score_sum) / n_done,
+        "gen/completed_length": float(stats.completed_length_sum) / n_done,
+        "gen/positions": int(stats.active_positions),
+        "gen/policy_entropy": float(stats.policy_entropy_sum) / n_pos,
+        "gen/search_value": float(stats.search_value_sum) / n_pos,
+        "gen/value_target": float(targets.sum()) / n_pos,
+        "gen/priority": float(priorities.sum()) / n_pos,
+    }
 
 
 @partial(jax.jit, static_argnums=(1, 4, 5))

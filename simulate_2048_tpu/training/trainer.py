@@ -110,7 +110,7 @@ class Trainer:
         """Self-play until ``min_buffer_size`` episodes (``trainer.py:156-223``)."""
         assert self.state is not None, "call initialize() first"
         while int(self.buffer.size) < self.config.min_buffer_size:
-            self.gen_state, traj = generate_games(
+            self.gen_state, traj, _ = generate_games(
                 self.state.params,
                 self.network.apply_fns,
                 self._next_key(),
@@ -158,8 +158,12 @@ class Trainer:
             for interval in (cfg.generation_interval, cfg.checkpoint_interval, cfg.eval_interval)
         )
         while step < end_step:
-            if step % cfg.generation_interval == 0:
-                self.gen_state, traj = generate_games(
+            # freeze_data_after: stop generating new self-play data past this
+            # step (decline-isolation A/B: if eval holds on frozen data, the
+            # regression rides in on new data, not optimization churn).
+            frozen = cfg.freeze_data_after is not None and step >= cfg.freeze_data_after
+            if step % cfg.generation_interval == 0 and not frozen:
+                self.gen_state, traj, gen_stats = generate_games(
                     self.state.params,
                     self.network.apply_fns,
                     self._next_key(),
@@ -168,6 +172,9 @@ class Trainer:
                     env_state=self.gen_state,
                 )
                 self.buffer = replay_lib.add_trajectories(self.buffer, traj)
+                from simulate_2048_tpu.training.self_play import finish_gen_stats
+
+                self.metrics.log({"step": step, **finish_gen_stats(gen_stats, traj)})
 
             if fused and end_step - step >= chunk:
                 # Always exactly `chunk` steps per superstep: a ragged tail

@@ -31,6 +31,10 @@ CFG = replace(
 )
 
 
+def replay_lib_episodes(trainer) -> int:
+    return int(trainer.get_buffer_stats()["episodes_added"])
+
+
 @pytest.fixture(scope="module")
 def setup():
     state, network = create_train_state(jax.random.PRNGKey(0), CFG)
@@ -111,11 +115,11 @@ class TestSegmentedGames:
 
         state, network = setup
         env0 = envlib.reset_batch(77, 3)
-        env1, t1 = play_segment(
+        env1, t1, gs1 = play_segment(
             state.params, network.apply_fns, env0, jax.random.PRNGKey(2),
             jnp.float32(1.0), CFG, 3,
         )
-        env2, t2 = play_segment(
+        env2, t2, gs2 = play_segment(
             state.params, network.apply_fns, env1, jax.random.PRNGKey(3),
             jnp.float32(1.0), CFG, 3,
         )
@@ -135,6 +139,41 @@ class TestSegmentedGames:
         # Truncated segments report full length; terminated ones their real length.
         lengths1 = np.asarray(t1.length)
         assert ((lengths1 == CFG.max_trajectory_length) | term1).all()
+        # Collection diagnostics agree with the trajectory.
+        assert int(gs1.completed) == int(term1.sum())
+        assert int(gs1.active_positions) == int(lengths1.sum())
+        if term1.any():
+            # Completed-game scores are FULL-game env totals: at least the
+            # segment delta earned by those lanes this segment.
+            seg = np.asarray(t1.total_reward)[term1].sum()
+            assert float(gs1.completed_score_sum) >= seg - 1e-3
+
+    def test_finish_gen_stats_and_freeze_knob(self, tmp_path):
+        from simulate_2048_tpu.training.self_play import finish_gen_stats, generate_games
+
+        cfg = replace(CFG, value_target_mode="td_lambda", freeze_data_after=2,
+                      generation_interval=1, min_buffer_size=2, eval_interval=1000,
+                      checkpoint_interval=1000, log_interval=1000)
+        trainer = Trainer(cfg, log_dir=str(tmp_path), seed=3)
+        trainer.initialize()
+        trainer.fill_buffer(verbose=False)
+        from simulate_2048_tpu.env import env as envlib
+
+        env0 = envlib.reset_batch(9, 2)
+        _, traj, gs = generate_games(
+            trainer.state.params, trainer.network.apply_fns, jax.random.PRNGKey(4),
+            cfg, 0, env_state=env0,
+        )
+        logged = finish_gen_stats(gs, traj)
+        assert logged["gen/positions"] == int(np.asarray(traj.length).sum())
+        assert 0.0 <= logged["gen/policy_entropy"] <= np.log(4) + 1e-6
+        assert np.isfinite(logged["gen/value_target"])
+        # Freeze: generations at steps 0,1 happen, steps >= 2 skipped.
+        added_before = replay_lib_episodes(trainer)
+        trainer.train(num_steps=4, verbose=False)
+        gen_rows = [r for r in trainer.metrics.history if "gen/positions" in r]
+        assert all(r["step"] < 2 for r in gen_rows)
+        assert replay_lib_episodes(trainer) >= added_before
 
     def test_truncated_windows_never_cross_boundary(self, setup):
         from simulate_2048_tpu.training import replay as replay_lib
