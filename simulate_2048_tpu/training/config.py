@@ -109,6 +109,13 @@ class TrainConfig:
     # moves too, clipping measurable strength — reaching 2048 takes ~950+).
     eval_max_moves: int = 1_200
 
+    # Ground truncated segments' value targets with their successor segment
+    # once it is generated (replay.backfill_returns): the boundary bootstrap
+    # ν_last is replaced by one segment of real reward plus the next
+    # segment's target, shifting every stored target in closed form. Off =
+    # collection-time targets are final (reference/paper behavior).
+    cross_segment_backfill: bool = False
+
     # Stop generating new self-play data once the learner reaches this step
     # (None = never). Diagnostic knob for the round-2 decline A/Bs: training
     # past the freeze point isolates optimization churn from data poisoning.

@@ -259,6 +259,81 @@ def sample_batch(
     return targets, indices, weights
 
 
+@partial(jax.jit, static_argnums=(6,))
+def backfill_returns(
+    state: BufferState,
+    slots: Array,
+    cont: Array,
+    seq: Array,
+    nu0_next: Array,
+    z0_next: Array,
+    config: TrainConfig,
+) -> BufferState:
+    """Ground a truncated segment's value targets with its successor segment.
+
+    A game that outlives one ``max_trajectory_length`` segment stores, at
+    collection time, a boundary target forced to its own search value ν_last
+    (``self_play.compute_n_step_returns``) — the entire unobserved tail is the
+    current net's guess. Round-2 soaks showed exactly this anchor going stale
+    as games grow past one segment (docs/project.md). Once the NEXT segment of
+    the same game has been played, the true continuation is known one hop
+    further: the boundary target becomes
+
+        G'_{L-1} = r_{L-1} + γ·[(1−λ)·ν_0^{next} + λ·z_0^{next}]
+
+    and, since a boundary perturbation re-enters earlier positions only
+    through the λ-branch of the TD(λ) recursion, every stored target shifts in
+    closed form:  z_t += (γλ)^{L-1-t} · (G'_{L-1} − z_{L-1}).
+
+    Parameters
+    ----------
+    slots : (B,) buffer rows of each lane's PREVIOUS segment
+    cont : (B,) bool — that segment was truncated (the game continued)
+    seq : (B,) insertion sequence numbers of those rows (validity guard: a
+        row is patched only if the circular buffer has not overwritten it)
+    nu0_next : (B,) search values ν at the new segment's first position
+    z0_next : (B,) stored targets z at the new segment's first position
+
+    Priorities of patched positions are raised to at least the h-space target
+    shift, so freshly grounded windows become (re-)sampleable promptly.
+    """
+    from simulate_2048_tpu.training.losses import scale_value
+
+    gamma, lam = config.discount, config.td_lambda
+    cap = state.length.shape[0]
+    t = state.actions.shape[1]
+
+    valid = cont & (state.episodes_added - seq <= cap)
+    lengths = state.length[slots]  # (B,)
+    last = jnp.maximum(lengths - 1, 0)
+    old_values = state.values[slots].astype(jnp.float32)  # (B, T)
+    z_last = jnp.take_along_axis(old_values, last[:, None], axis=-1)[:, 0]
+    r_last = jnp.take_along_axis(
+        state.rewards[slots].astype(jnp.float32), last[:, None], axis=-1
+    )[:, 0]
+    boundary = r_last + gamma * ((1.0 - lam) * nu0_next + lam * z0_next)
+    delta = jnp.where(valid, boundary - z_last, 0.0)
+
+    steps = jnp.arange(t)[None, :]
+    in_ep = steps < lengths[:, None]
+    factor = jnp.where(in_ep, jnp.power(gamma * lam, (last[:, None] - steps)), 0.0)
+    new_values = old_values + factor * delta[:, None]
+
+    old_prios = state.step_priorities[slots].astype(jnp.float32)
+    shift = jnp.abs(
+        scale_value(new_values, config.value_epsilon)
+        - scale_value(old_values, config.value_epsilon)
+    )
+    new_prios = jnp.where(in_ep, jnp.maximum(old_prios, shift), old_prios)
+
+    return state._replace(
+        values=state.values.at[slots].set(new_values.astype(VALUE_DTYPE)),
+        step_priorities=state.step_priorities.at[slots].set(
+            new_prios.astype(PRIORITY_DTYPE)
+        ),
+    )
+
+
 @jax.jit
 def update_priorities(state: BufferState, indices: Array, new_priorities: Array) -> BufferState:
     """Write back priorities for sampled (episode, start) positions

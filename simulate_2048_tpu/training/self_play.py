@@ -44,6 +44,10 @@ class GenStats(NamedTuple):
     active_positions: Array  # stored (non-padding) positions in the segment
     policy_entropy_sum: Array  # entropy of stored policy targets
     search_value_sum: Array  # raw-space MCTS root values ν
+    # Per-lane ν at the segment's FIRST position (pre-TD-replacement) — the
+    # (1−λ) bootstrap piece when a previous truncated segment's targets are
+    # backfilled with this segment's grounding (replay.backfill_returns).
+    first_search_value: Array  # (B,)
 
 
 def search_config_from(config: TrainConfig) -> SearchConfig:
@@ -187,6 +191,7 @@ def play_segment(
         active_positions=jnp.sum(lengths),
         policy_entropy_sum=jnp.sum(entropy * active),
         search_value_sum=jnp.sum(values_bt),
+        first_search_value=values_bt[:, 0],
     )
     return envlib.reset_done(final_state), traj, stats
 

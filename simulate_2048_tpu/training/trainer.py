@@ -63,6 +63,8 @@ class Trainer:
         self._ckpt = CheckpointManager(self.checkpoint_dir) if self.checkpoint_dir else None
         self.metrics = MetricsLogger(self.log_dir)
         self._dp_step = None
+        # Previous generation's buffer rows (cross_segment_backfill bookkeeping).
+        self._prev_slots = self._prev_cont = self._prev_seq = None
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -106,11 +108,33 @@ class Trainer:
                         self.buffer = buf
                         print(f"resumed replay buffer with {int(buf.size)} episodes")
 
+    def _ingest(self, traj, gen_stats) -> None:
+        """Insert a generated segment batch; with ``cross_segment_backfill``,
+        first re-ground the previous segments of continuing games."""
+        import jax.numpy as jnp
+
+        cfg = self.config
+        b = traj.length.shape[0]
+        if cfg.cross_segment_backfill and self._prev_slots is not None:
+            self.buffer = replay_lib.backfill_returns(
+                self.buffer,
+                self._prev_slots,
+                self._prev_cont,
+                self._prev_seq,
+                gen_stats.first_search_value,
+                traj.values[:, 0],
+                cfg,
+            )
+        slots = (self.buffer.write_pos + jnp.arange(b)) % self.buffer.length.shape[0]
+        seq = self.buffer.episodes_added + jnp.arange(b)
+        self.buffer = replay_lib.add_trajectories(self.buffer, traj)
+        self._prev_slots, self._prev_cont, self._prev_seq = slots, ~traj.terminated, seq
+
     def fill_buffer(self, verbose: bool = True) -> None:
         """Self-play until ``min_buffer_size`` episodes (``trainer.py:156-223``)."""
         assert self.state is not None, "call initialize() first"
         while int(self.buffer.size) < self.config.min_buffer_size:
-            self.gen_state, traj, _ = generate_games(
+            self.gen_state, traj, gen_stats = generate_games(
                 self.state.params,
                 self.network.apply_fns,
                 self._next_key(),
@@ -118,7 +142,7 @@ class Trainer:
                 int(self.state.step),
                 env_state=self.gen_state,
             )
-            self.buffer = replay_lib.add_trajectories(self.buffer, traj)
+            self._ingest(traj, gen_stats)
             if verbose:
                 print(f"buffer: {int(self.buffer.size)}/{self.config.min_buffer_size}")
 
@@ -171,7 +195,7 @@ class Trainer:
                     step,
                     env_state=self.gen_state,
                 )
-                self.buffer = replay_lib.add_trajectories(self.buffer, traj)
+                self._ingest(traj, gen_stats)
                 from simulate_2048_tpu.training.self_play import finish_gen_stats
 
                 self.metrics.log({"step": step, **finish_gen_stats(gen_stats, traj)})

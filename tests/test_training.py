@@ -365,6 +365,71 @@ class TestNStepReturns:
         np.testing.assert_allclose(g[:3], [g0, g1, g2], rtol=1e-5)
         assert g[3] == 0.0
 
+    def test_cross_segment_backfill_matches_joint_return(self):
+        # Patching a truncated segment's targets with its successor must equal
+        # the TD(λ) recursion computed jointly over the concatenated game —
+        # the boundary perturbation re-enters earlier positions only through
+        # the λ-branch, so the closed-form (γλ)^{L-1-t} shift is exact.
+        from simulate_2048_tpu.training import replay as replay_lib
+
+        cfg = replace(CFG, max_trajectory_length=6, replay_buffer_size=8)
+        t = cfg.max_trajectory_length
+        rng = np.random.RandomState(3)
+        r1 = rng.uniform(0, 8, (1, t)).astype(np.float32)
+        v1 = rng.uniform(0, 5, (1, t)).astype(np.float32)
+        r2 = rng.uniform(0, 8, (1, t)).astype(np.float32)
+        v2 = rng.uniform(0, 5, (1, t)).astype(np.float32)
+        z1 = compute_n_step_returns(
+            jnp.asarray(r1), jnp.asarray(v1), jnp.array([t]), cfg, jnp.array([False])
+        )
+        z2 = compute_n_step_returns(
+            jnp.asarray(r2), jnp.asarray(v2), jnp.array([t]), cfg, jnp.array([True])
+        )
+        joint = compute_n_step_returns(
+            jnp.concatenate([jnp.asarray(r1), jnp.asarray(r2)], axis=1),
+            jnp.concatenate([jnp.asarray(v1), jnp.asarray(v2)], axis=1),
+            jnp.array([2 * t]),
+            cfg,
+            jnp.array([True]),
+        )
+
+        traj = Trajectory(
+            boards=jnp.zeros((1, t + 1, 16), jnp.int8),
+            actions=jnp.zeros((1, t), jnp.int8),
+            rewards=jnp.asarray(r1),
+            policies=jnp.full((1, t, 4), 0.25),
+            values=z1,
+            priorities=jnp.ones((1, t)),
+            length=jnp.array([t]),
+            terminated=jnp.array([False]),
+            total_reward=jnp.asarray(r1.sum(1)),
+            max_tile=jnp.array([64]),
+        )
+        buf = replay_lib.add_trajectories(replay_lib.init_buffer(cfg), traj)
+        buf = replay_lib.backfill_returns(
+            buf,
+            slots=jnp.array([0]),
+            cont=jnp.array([True]),
+            seq=jnp.array([0]),
+            nu0_next=jnp.asarray(v2[:, 0]),
+            z0_next=z2[:, 0],
+            config=cfg,
+        )
+        patched = np.asarray(buf.values[0, :t], np.float32)
+        # bf16 storage: ~3 significant digits.
+        np.testing.assert_allclose(patched, np.asarray(joint)[0, :t], rtol=2e-2)
+        # Stale rows (overwritten since) must be left untouched.
+        buf2 = replay_lib.backfill_returns(
+            buf,
+            slots=jnp.array([0]),
+            cont=jnp.array([True]),
+            seq=jnp.array([-cfg.replay_buffer_size - 1]),
+            nu0_next=jnp.array([999.0]),
+            z0_next=jnp.array([999.0]),
+            config=cfg,
+        )
+        np.testing.assert_array_equal(np.asarray(buf2.values[0]), np.asarray(buf.values[0]))
+
 
 class TestLearner:
     def test_train_step_reduces_loss_and_updates(self):
