@@ -29,6 +29,12 @@ def main() -> None:
         help="tree-depth cap (None = unbounded; presets use 32 via search_max_depth)",
     )
     parser.add_argument(
+        "--pallas",
+        action="store_true",
+        help="use the whole-search VMEM kernel (ops/pallas_search.py) instead "
+        "of the XLA search",
+    )
+    parser.add_argument(
         "--trace",
         default=None,
         metavar="DIR",
@@ -74,9 +80,22 @@ def main() -> None:
     obs = envlib.get_observation(state)
     keys = jax.random.split(jax.random.PRNGKey(1), args.boards)
 
-    run = jax.jit(
-        lambda o, k: batched_run_mcts(network.params, network.apply_fns, o, k, search_cfg)
-    )
+    if args.pallas:
+        from simulate_2048_tpu.ops.pallas_search import pack_search_params, run_mcts_pallas
+
+        packed = jax.jit(
+            lambda p: pack_search_params(p, cfg.num_residual_blocks, cfg.codebook_size)
+        )(network.params)
+        run = jax.jit(
+            lambda o, k: run_mcts_pallas(
+                network.params, network.apply_fns, o, k, search_cfg,
+                num_blocks=cfg.num_residual_blocks, packed=packed,
+            )
+        )
+    else:
+        run = jax.jit(
+            lambda o, k: batched_run_mcts(network.params, network.apply_fns, o, k, search_cfg)
+        )
     stats = time_fn(lambda: run(obs, keys).action_weights, warmup=1, reps=5)
 
     if args.trace:
