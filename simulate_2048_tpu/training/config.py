@@ -66,6 +66,13 @@ class TrainConfig:
         (300_000, 0.0),
     )
 
+    # Act greedily from this move index ON within each self-play game (None =
+    # never): AlphaZero's opening-temperature trick. With Monte-Carlo value
+    # targets (td_lambda=1.0) every sampled-at-temperature move past the
+    # opening injects play noise directly into the stored returns; a cutoff
+    # keeps opening diversity while the returns reflect near-greedy strength.
+    temperature_move_cutoff: int | None = None
+
     # Replay buffer.
     replay_buffer_size: int = 125_000  # trajectories
     min_buffer_size: int = 1_000

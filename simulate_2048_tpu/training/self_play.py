@@ -132,8 +132,16 @@ def play_segment(
         if greedy:
             actions = jnp.argmax(jnp.where(legal, out.action_weights, 0.0), axis=-1)
         else:
-            actions = jax.vmap(sample_from_visits, in_axes=(0, 0, 0, None))(
-                out, jax.random.split(search_keys[num_games], num_games), legal, temperature
+            if config.temperature_move_cutoff is not None:
+                # Opening-only exploration: greedy past the per-game cutoff
+                # (temperature 0 ⇒ argmax inside sample_from_visits).
+                temps = jnp.where(
+                    state.step_count < config.temperature_move_cutoff, temperature, 0.0
+                )
+            else:
+                temps = jnp.full((num_games,), temperature)
+            actions = jax.vmap(sample_from_visits)(
+                out, jax.random.split(search_keys[num_games], num_games), legal, temps
             )
 
         new_state, reward, done, _ = envlib.step(state, actions)

@@ -148,6 +148,26 @@ class TestSegmentedGames:
             seg = np.asarray(t1.total_reward)[term1].sum()
             assert float(gs1.completed_score_sum) >= seg - 1e-3
 
+    def test_temperature_move_cutoff_matches_zero_temperature(self, setup):
+        # cutoff = 0 ⇒ every move acts greedily, which must equal running the
+        # same segment at temperature 0 (same keys ⇒ same searches).
+        from simulate_2048_tpu.env import env as envlib
+        from simulate_2048_tpu.training.self_play import play_segment
+
+        state, network = setup
+        env0 = envlib.reset_batch(5, 3)
+        _, t_zero, _ = play_segment(
+            state.params, network.apply_fns, env0, jax.random.PRNGKey(11),
+            jnp.float32(0.0), CFG, 3,
+        )
+        cfg_cut = replace(CFG, temperature_move_cutoff=0)
+        _, t_cut, _ = play_segment(
+            state.params, network.apply_fns, env0, jax.random.PRNGKey(11),
+            jnp.float32(1.0), cfg_cut, 3,
+        )
+        np.testing.assert_array_equal(np.asarray(t_zero.actions), np.asarray(t_cut.actions))
+        np.testing.assert_array_equal(np.asarray(t_zero.boards), np.asarray(t_cut.boards))
+
     def test_finish_gen_stats_and_freeze_knob(self, tmp_path):
         from simulate_2048_tpu.training.self_play import finish_gen_stats, generate_games
 
