@@ -32,6 +32,26 @@ DEFAULT_HIDDEN = 256
 DEFAULT_BLOCKS = 10
 DEFAULT_CODEBOOK = 32
 NUM_ACTIONS = 4
+ONEHOT_DEPTH = 16  # exponents 0..15 cover tiles up to 32768
+
+
+def expand_observation(observation: Array, onehot: bool) -> Array:
+    """Optionally lift the scalar exponent observation to per-cell one-hots.
+
+    The reference's JAX training path feeds log2(tile)/16 scalars
+    (``core.py:347``) — a representation that forces the MLP to carve 16
+    thresholds per cell before it can reason about tiles. ``onehot=True``
+    (``TrainConfig.observation_onehot``) re-encodes each cell as a 16-way
+    one-hot (16 cells × 16 = 256 inputs), the standard encoding of strong
+    2048 networks (cf. the reference's own NumPy-side option,
+    ``twentyfortyeight.py:66-68``). Model-side only: envs, replay and search
+    still exchange the compact scalar form.
+    """
+    if not onehot:
+        return observation
+    exps = jnp.round(observation * 16.0).astype(jnp.int32)
+    oh = jax.nn.one_hot(exps, ONEHOT_DEPTH, dtype=observation.dtype)
+    return oh.reshape(observation.shape[:-1] + (observation.shape[-1] * ONEHOT_DEPTH,))
 
 
 class Representation(nn.Module):
@@ -40,9 +60,11 @@ class Representation(nn.Module):
     hidden_size: int = DEFAULT_HIDDEN
     num_blocks: int = DEFAULT_BLOCKS
     compute_dtype: Dtype = jnp.float32
+    onehot_input: bool = False
 
     @nn.compact
     def __call__(self, observation: Array) -> Array:
+        observation = expand_observation(observation, self.onehot_input)
         x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(observation)
         return nn.Dense(self.hidden_size, dtype=jnp.float32, name="hidden_state")(x)
 
@@ -129,9 +151,11 @@ class Encoder(nn.Module):
     hidden_size: int = DEFAULT_HIDDEN
     num_blocks: int = DEFAULT_BLOCKS
     compute_dtype: Dtype = jnp.float32
+    onehot_input: bool = False
 
     @nn.compact
     def __call__(self, observation: Array, deterministic: bool = True) -> Array:
+        observation = expand_observation(observation, self.onehot_input)
         x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(observation)
         logits = nn.Dense(self.codebook_size, dtype=jnp.float32, name="chance_logits")(x)
         if deterministic:

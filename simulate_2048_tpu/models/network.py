@@ -74,6 +74,7 @@ def create_network(
     hidden_size: int = DEFAULT_HIDDEN,
     num_blocks: int = DEFAULT_BLOCKS,
     compute_dtype: Any = jnp.float32,
+    observation_onehot: bool = False,
 ) -> MuZeroNetwork:
     """Initialize all six networks with dummy inputs (``network.py:53-141``)."""
     k = jax.random.split(key, 6)
@@ -82,12 +83,12 @@ def create_network(
     dummy_action = jnp.zeros((1, action_size))
     dummy_chance = jnp.zeros((1, codebook_size))
 
-    rep = Representation(hidden_size, num_blocks, compute_dtype)
+    rep = Representation(hidden_size, num_blocks, compute_dtype, observation_onehot)
     pred = Prediction(action_size, hidden_size, num_blocks, compute_dtype)
     adyn = AfterstateDynamics(hidden_size, action_size, num_blocks, compute_dtype)
     apred = AfterstatePrediction(codebook_size, hidden_size, num_blocks, compute_dtype)
     dyn = Dynamics(hidden_size, codebook_size, num_blocks, compute_dtype)
-    enc = Encoder(codebook_size, hidden_size, num_blocks, compute_dtype)
+    enc = Encoder(codebook_size, hidden_size, num_blocks, compute_dtype, observation_onehot)
 
     params = NetworkParams(
         representation=rep.init(k[0], dummy_obs),

@@ -66,6 +66,15 @@ class TrainConfig:
         (300_000, 0.0),
     )
 
+    # Model-side observation lift: re-encode each board cell's scalar
+    # exponent as a 16-way one-hot before the representation/encoder trunks
+    # (256 inputs). The reference's JAX path trains on log2/16 scalars
+    # (``core.py:347``), which makes every value/policy distinction thread
+    # through learned per-cell thresholds; one-hot is the standard encoding
+    # of strong 2048 networks (the reference's own NumPy env offers it,
+    # ``twentyfortyeight.py:66-68``, but its training never uses it).
+    observation_onehot: bool = False
+
     # Act greedily from this move index ON within each self-play game (None =
     # never): AlphaZero's opening-temperature trick. With Monte-Carlo value
     # targets (td_lambda=1.0) every sampled-at-temperature move past the

@@ -75,6 +75,7 @@ def create_train_state(key: Array, config: TrainConfig) -> tuple[TrainState, MuZ
         hidden_size=config.hidden_size,
         num_blocks=config.num_residual_blocks,
         compute_dtype=jnp.bfloat16 if config.use_bfloat16 else jnp.float32,
+        observation_onehot=config.observation_onehot,
     )
     optimizer = create_optimizer(config)
     state = TrainState(

@@ -107,3 +107,28 @@ def test_bfloat16_compute_dtype():
     assert logits.dtype == jnp.float32 and value.dtype == jnp.float32
     # Params stay float32.
     assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(net.params))
+
+
+def test_observation_onehot_lift():
+    from simulate_2048_tpu.models.muzero import expand_observation
+
+    obs = jnp.array([[0.0, 1 / 16.0, 11 / 16.0, 15 / 16.0]])
+    oh = expand_observation(obs, True)
+    assert oh.shape == (1, 64)
+    oh = oh.reshape(1, 4, 16)
+    assert oh[0, 0, 0] == 1.0 and oh[0, 1, 1] == 1.0
+    assert oh[0, 2, 11] == 1.0 and oh[0, 3, 15] == 1.0
+    assert float(oh.sum()) == 4.0
+    # identity without the lift
+    assert expand_observation(obs, False) is obs
+
+    net = create_network(
+        jax.random.PRNGKey(0), hidden_size=32, num_blocks=1, observation_onehot=True
+    )
+    hidden = net.apply_fns.representation(net.params.representation, jnp.zeros((3, 16)))
+    assert hidden.shape == (3, 32)
+    code = net.apply_fns.encoder(net.params.encoder, jnp.zeros((3, 16)))
+    assert code.shape == (3, 32)
+    # input layer widened 16 -> 256
+    k = net.params.representation["params"]["TowerWithHead_0"]["Dense_0"]["kernel"]
+    assert k.shape[0] == 256
