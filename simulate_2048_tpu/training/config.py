@@ -146,6 +146,14 @@ class TrainConfig:
     # Value scaling h(x) = sign(x)(√(|x|+1) − 1) + εx.
     value_epsilon: float = 0.001
 
+    # MuZero Appendix G: scale the gradient flowing INTO each unrolled
+    # dynamics step by this factor (forward pass unchanged), keeping the
+    # total gradient through the K-step unroll O(1) instead of O(K). The
+    # reference omits it; 1.0 reproduces that (kept as the default so A/B
+    # attribution against earlier round-2 runs stays clean — flip to 0.5 for
+    # the paper-faithful behavior, tested as arm E10).
+    dynamics_gradient_scale: float = 1.0
+
     # Loss weights (``config.py:87-91``).
     policy_loss_weight: float = 1.0
     value_loss_weight: float = 0.25

@@ -228,6 +228,13 @@ def compute_loss(
             state, acc_p, acc_v, acc_r, acc_c, acc_commit = carry
             action_onehot = jax.nn.one_hot(sample.actions[step], config.action_size)
 
+            # MuZero App. G: scale the gradient entering each dynamics step
+            # (total gradient through a K-step unroll stays O(1) instead of
+            # growing with depth). The reference never applies it.
+            s = config.dynamics_gradient_scale
+            if s < 1.0:
+                state = state * s + lax.stop_gradient(state * (1.0 - s))
+
             afterstate = apply_fns.afterstate_dynamics(
                 params.afterstate_dynamics, state, action_onehot
             )
