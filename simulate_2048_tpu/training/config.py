@@ -146,6 +146,15 @@ class TrainConfig:
     # Value scaling h(x) = sign(x)(√(|x|+1) − 1) + εx.
     value_epsilon: float = 0.001
 
+    # EfficientZero self-supervised consistency (Ye et al. 2021): weight of
+    # the cosine distance between each unrolled hidden state and the
+    # stop-gradient re-encoding of the true next observation. 0 = off
+    # (paper/reference behavior). The round-2 model probe measured ~130%
+    # relative drift after one unroll step — this loss pins the latent
+    # rollout to the encoder's manifold so in-tree value/reward predictions
+    # stay meaningful at depth.
+    consistency_loss_weight: float = 0.0
+
     # MuZero Appendix G: scale the gradient flowing INTO each unrolled
     # dynamics step by this factor (forward pass unchanged), keeping the
     # total gradient through the K-step unroll O(1) instead of O(K). The

@@ -156,7 +156,7 @@ def train_superstep(
         acc = jax.tree.map(lambda a, x: a + x, acc, loss_output)
         return state, buffer, key, acc
 
-    zero = LossOutput(*([jnp.float32(0)] * 7))
+    zero = LossOutput(*([jnp.float32(0)] * len(LossOutput._fields)))
     state, buffer_state, _, acc = jax.lax.fori_loop(
         0, num_steps, body, (state, buffer_state, key, zero)
     )

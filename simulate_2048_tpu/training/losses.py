@@ -49,6 +49,7 @@ class LossOutput(NamedTuple):
     chance_loss: Array
     commitment_loss: Array
     codebook_entropy: Array
+    consistency_loss: Array = jnp.float32(0)
 
 
 class TrainingTargets(NamedTuple):
@@ -224,8 +225,20 @@ def compute_loss(
             chance_mask = jnp.ones((k_steps,))
             commit_all = jnp.zeros((k_steps,))
 
+        # EfficientZero-style self-supervised consistency targets: the
+        # re-encoded TRUE next states, stop-gradient (Ye et al. 2021). 2048's
+        # round-2 probe measured the unrolled hidden drifting ~130% of the
+        # true hidden's norm after ONE step (scripts/model_probe.py) — the
+        # drift blurs every value/reward prediction deeper in the tree.
+        if config.consistency_loss_weight > 0.0:
+            h_true = lax.stop_gradient(
+                apply_fns.representation(params.representation, sample.observations[1:])
+            )
+        else:
+            h_true = None
+
         def unroll_step(carry, step):
-            state, acc_p, acc_v, acc_r, acc_c, acc_commit = carry
+            state, acc_p, acc_v, acc_r, acc_c, acc_commit, acc_cons = carry
             action_onehot = jax.nn.one_hot(sample.actions[step], config.action_size)
 
             # MuZero App. G: scale the gradient entering each dynamics step
@@ -257,6 +270,17 @@ def compute_loss(
             step_v = value_loss(next_value, sample.target_values[step + 1], config.value_epsilon)
             step_r = reward_loss(pred_reward, sample.target_rewards[step], config.value_epsilon)
 
+            if h_true is not None:
+                # cosine distance to the re-encoded true next state; masked
+                # like the chance CE (no real transition past episode end).
+                ht = h_true[step]
+                cos = jnp.sum(next_state * ht) / (
+                    jnp.linalg.norm(next_state) * jnp.linalg.norm(ht) + 1e-8
+                )
+                step_cons = (1.0 - cos) * chance_mask[step]
+            else:
+                step_cons = jnp.float32(0)
+
             return (
                 next_state,
                 acc_p + step_p,
@@ -264,10 +288,11 @@ def compute_loss(
                 acc_r + step_r,
                 acc_c + step_c,
                 acc_commit + commit_all[step],
+                acc_cons + step_cons,
             ), None
 
-        init = (hidden, p0, v0, jnp.float32(0), jnp.float32(0), jnp.float32(0))
-        (_, tot_p, tot_v, tot_r, tot_c, tot_commit), _ = lax.scan(
+        init = (hidden, p0, v0, jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        (_, tot_p, tot_v, tot_r, tot_c, tot_commit, tot_cons), _ = lax.scan(
             unroll_step, init, jnp.arange(k_steps)
         )
         if use_encoder:
@@ -288,6 +313,7 @@ def compute_loss(
                 chance_loss=tot_c / n_chance,
                 commitment_loss=tot_commit / k_steps,
                 codebook_entropy=jnp.float32(0),
+                consistency_loss=tot_cons / n_chance,
             ),
             usage,
         )
@@ -317,6 +343,7 @@ def compute_loss(
     mean_r = reduce(batch_losses.reward_loss)
     mean_c = reduce(batch_losses.chance_loss)
     mean_commit = reduce(batch_losses.commitment_loss)
+    mean_cons = reduce(batch_losses.consistency_loss)
 
     total = (
         config.policy_loss_weight * mean_p
@@ -324,8 +351,9 @@ def compute_loss(
         + config.reward_loss_weight * mean_r
         + config.chance_loss_weight * mean_c
         + config.commitment_loss_weight * mean_commit
+        + config.consistency_loss_weight * mean_cons
         - config.codebook_entropy_weight * codebook_entropy
     )
     return total, LossOutput(
-        total, mean_p, mean_v, mean_r, mean_c, mean_commit, codebook_entropy
+        total, mean_p, mean_v, mean_r, mean_c, mean_commit, codebook_entropy, mean_cons
     )
