@@ -238,6 +238,7 @@ class Trainer:
                     "chance_loss": float(loss_output.chance_loss),
                     "commitment_loss": float(loss_output.commitment_loss),
                     "codebook_entropy": float(loss_output.codebook_entropy),
+                    "consistency_loss": float(loss_output.consistency_loss),
                     "steps_per_s": sps,
                     "buffer_size": int(self.buffer.size),
                 }
