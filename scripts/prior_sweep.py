@@ -21,6 +21,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from simulate_2048_tpu.utils.platform import enable_compile_cache, respect_env_platforms
+
+respect_env_platforms()
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 
