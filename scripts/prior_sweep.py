@@ -64,8 +64,12 @@ def main() -> None:
         ("prior_T2", 2.0, cfg.pb_c_init, cfg.num_simulations),
         ("prior_T4", 4.0, cfg.pb_c_init, cfg.num_simulations),
         ("pb_c_0.5", 1.0, 0.5, cfg.num_simulations),
+        ("pb_c_0.8", 1.0, 0.8, cfg.num_simulations),
+        ("pb_c_1.75", 1.0, 1.75, cfg.num_simulations),
         ("pb_c_2.5", 1.0, 2.5, cfg.num_simulations),
-        ("T2_pb_c_2.5", 2.0, 2.5, cfg.num_simulations),
+        ("pb_c_4.0", 1.0, 4.0, cfg.num_simulations),
+        ("T4_pb_c_2.5", 4.0, 2.5, cfg.num_simulations),
+        ("T4_pb_c_0.5", 4.0, 0.5, cfg.num_simulations),
     ]
     for name, t, pb, sims in grid:
         c = dataclasses.replace(cfg, pb_c_init=pb, num_simulations=sims)
