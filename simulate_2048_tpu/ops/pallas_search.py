@@ -392,7 +392,7 @@ def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
 
             def pad_softmax(logits, width):
                 valid = iota_kg < width
-                m = jnp.where(valid, logits, NEG_INF)
+                m = jnp.where(valid, logits / cfg.prior_temperature, NEG_INF)
                 m = m - jnp.max(m, axis=0, keepdims=True)
                 e = jnp.where(valid, jnp.exp(m), 0.0)
                 return e / jnp.sum(e, axis=0, keepdims=True)
@@ -582,7 +582,7 @@ def run_mcts_pallas(
 
         root_value = inverse_scale_value(root_value, config.value_transform_epsilon)
 
-    root_probs = jax.nn.softmax(root_logits)
+    root_probs = jax.nn.softmax(root_logits / config.prior_temperature)
     if config.dirichlet_fraction > 0.0:
         noise = jax.vmap(
             lambda kk: jax.random.dirichlet(

@@ -78,6 +78,13 @@ class SearchConfig(NamedTuple):
     # disables widening (every code is always a candidate).
     pw_c: float | None = None
     pw_alpha: float = 0.5
+    # Softmax temperature applied to policy/chance logits wherever priors
+    # enter the tree (root and expansions). The round-2 prior sweep
+    # (scripts/prior_sweep.py, docs/project.md) measured the trained prior as
+    # overconfident relative to its quality: prior_temperature=4 +
+    # pb_c_init=0.5 lifted the same checkpoint's eval from 2186±107 to
+    # 2938±185 (64 games). 1.0 = paper/reference behavior.
+    prior_temperature: float = 1.0
     # Networks predict value/reward in h-SCALED space (the training loss
     # regresses toward h(z), ``training/losses.py``), but tree backups compute
     # r + γ·v — only meaningful in RAW (linear) space. When set, every network
@@ -351,7 +358,9 @@ def _expand_and_backup(
 
     def pad_probs(logits: Array) -> Array:
         # softmax once at expansion; padded slots stay exactly 0.
-        return jnp.zeros((k,)).at[: logits.shape[-1]].set(jax.nn.softmax(logits))
+        return jnp.zeros((k,)).at[: logits.shape[-1]].set(
+            jax.nn.softmax(logits / cfg.prior_temperature)
+        )
 
     embedding_new = jnp.where(parent_is_dec, afterstate, hidden)
     prior_new = jnp.where(parent_is_dec, pad_probs(chance_logits), pad_probs(action_logits))
@@ -399,7 +408,7 @@ def _search_single(
 
     # Root exploration noise: π ← (1-ρ)·π + ρ·Dir(α)
     # (mctx's root noise scheme with the reference's ρ=0.1, α=0.25).
-    root_probs = jax.nn.softmax(root_logits)
+    root_probs = jax.nn.softmax(root_logits / cfg.prior_temperature)
     if cfg.dirichlet_fraction > 0.0:
         noise = jax.random.dirichlet(key, jnp.full((cfg.num_actions,), cfg.dirichlet_alpha))
         root_probs = (1.0 - cfg.dirichlet_fraction) * root_probs + cfg.dirichlet_fraction * noise

@@ -49,6 +49,12 @@ class TrainConfig:
     chance_selection: str = "argmax"
     pw_c: float | None = None
     pw_alpha: float = 0.5
+    # Search prior calibration (round-2 sweep, docs/project.md): softmax
+    # temperature on policy/chance logits entering the tree. The trained
+    # prior measures as overconfident; prior_temperature=4 + pb_c_init=0.5
+    # lifted the 30k champion checkpoint from 2186 to 2938 eval with no
+    # retraining. 1.0 = paper/reference behavior.
+    prior_temperature: float = 1.0
     # Search in RAW value space: networks predict in h-scaled space, so their
     # value/q/reward outputs are passed through h⁻¹ before the tree's linear
     # r + γ·v backups (paper-faithful). False reproduces the reference, which

@@ -65,6 +65,7 @@ def search_config_from(config: TrainConfig) -> SearchConfig:
         chance_selection=config.chance_selection,
         pw_c=config.pw_c,
         pw_alpha=config.pw_alpha,
+        prior_temperature=config.prior_temperature,
         value_transform_epsilon=(
             config.value_epsilon if config.search_untransform_values else None
         ),

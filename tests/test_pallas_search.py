@@ -91,6 +91,18 @@ class TestPallasSearchEquivalence:
             np.asarray(out.visit_counts), np.asarray(ref.visit_counts)
         )
 
+    def test_prior_temperature_parity(self, net):
+        cfg = CFG._replace(prior_temperature=4.0, pb_c_init=0.5)
+        obs, keys = make_inputs(BLOCK_G, seed=13)
+        ref = batched_run_mcts(net.params, net.apply_fns, obs, keys, cfg)
+        out = run_mcts_pallas(
+            net.params, net.apply_fns, obs, keys, cfg,
+            num_blocks=BLOCKS, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.visit_counts), np.asarray(ref.visit_counts)
+        )
+
     def test_depth_cap_and_deep_trees(self, net):
         cfg = CFG._replace(num_simulations=20, max_depth=4)
         obs, keys = make_inputs(BLOCK_G, seed=5)
