@@ -32,8 +32,13 @@ Layout (see /opt/skills/guides/pallas_guide.md):
   the whole matmul chain per expansion unrolls at trace time.
 
 VMEM budget (f32, H=128, NB=5, S=50): tables ≈ 6.8 MB + weights ≈ 3.2 MB +
-activations < 1 MB — fits the ~16 MB/core budget. The FULL config
-(H=256, NB=10) does not fit; callers fall back to the XLA path.
+activations < 1 MB — fits the ~16 MB/core budget. ``weight_dtype=bfloat16``
+halves the weight + embedding-table footprint AND runs every expansion
+matmul MXU-native (one bf16 pass instead of the 3-pass f32 decomposition);
+``search_vmem_bytes``/``pallas_search_supported`` decide per-config whether
+the kernel fits. The paper-full config (H=256, NB=10, S=100) exceeds VMEM in
+any dtype ≥ 1 byte (weights alone are 11.5 MB bf16, tables ~13 MB) and keeps
+the XLA fallback — the estimator encodes that honestly.
 
 Equivalence: same algorithm and arithmetic as ``search/mcts.py`` up to
 float reduction order (Mosaic vs XLA accumulate differently), so tests
@@ -86,13 +91,22 @@ def _tower_arrays(tw: dict, num_blocks: int) -> tuple[list, list]:
     return hh, vecs
 
 
-def pack_search_params(params: NetworkParams, num_blocks: int, codebook_size: int):
+def pack_search_params(
+    params: NetworkParams,
+    num_blocks: int,
+    codebook_size: int,
+    weight_dtype=jnp.float32,
+):
     """Stack the f/φ/ψ/g parameters into dense tensors for the kernel.
 
     Returns ``(hh (n_hh, H, H), vecs (H, n_vec), win (2, K, H),
-    wide (2, H, K), wide_b (K, 2), scal (H, 8), scal_b (1, 8))`` — float32.
-    Packing order must match ``_make_kernel``'s offsets; both derive from
-    ``num_blocks`` alone so they cannot drift independently.
+    wide (2, H, K), wide_b (K, 2), scal (H, 8), scal_b (1, 8))``. The big
+    matmul operands (``hh``/``win``/``wide``) are stored in ``weight_dtype``
+    (bfloat16 halves their VMEM and keeps the MXU in its native dtype);
+    LayerNorm/bias vectors and the scalar heads stay float32 (negligible
+    size, accumulation-critical). Packing order must match ``_make_kernel``'s
+    offsets; both derive from ``num_blocks`` alone so they cannot drift
+    independently.
     """
     f = _unwrap(params.prediction)
     phi = _unwrap(params.afterstate_dynamics)
@@ -150,13 +164,13 @@ def pack_search_params(params: NetworkParams, num_blocks: int, codebook_size: in
     scal_b = scal_b.at[0, 1].set(psi["q_value"]["bias"][0])
     scal_b = scal_b.at[0, 2].set(g["reward"]["bias"][0])
 
-    hh = jnp.stack([x.astype(jnp.float32) for x in hh])
+    hh = jnp.stack([x.astype(weight_dtype) for x in hh])
     vecs = jnp.stack([x.astype(jnp.float32) for x in vecs]).T  # (H, n_vec)
     return (
         hh,
         vecs,
-        win.astype(jnp.float32),
-        wide.astype(jnp.float32),
+        win.astype(weight_dtype),
+        wide.astype(weight_dtype),
         wide_b.astype(jnp.float32),
         scal.astype(jnp.float32),
         scal_b.astype(jnp.float32),
@@ -239,9 +253,12 @@ def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
             return vec_ref[:, pl.ds(i, 1)]
 
         def dense(x, ihh, iv):
-            # x (I, G) → (O, G): contraction on the weight's input dim
+            # x (I, G) → (O, G): contraction on the weight's input dim.
+            # Activations are cast to the stored weight dtype so a bf16 pack
+            # runs one native MXU pass; accumulation stays f32 throughout.
+            w = hh_ref[ihh]
             y = jax.lax.dot_general(
-                hh_ref[ihh], x, dn_in, preferred_element_type=jnp.float32
+                w, x.astype(w.dtype), dn_in, preferred_element_type=jnp.float32
             )
             return y + vec(iv)
 
@@ -267,12 +284,14 @@ def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
             return jnp.maximum(x, 0.0)
 
         def head(w, x, b):  # w (H, O), x (H, G), b (O, 1) → (O, G)
-            y = jax.lax.dot_general(w, x, dn_in, preferred_element_type=jnp.float32)
+            y = jax.lax.dot_general(
+                w, x.astype(w.dtype), dn_in, preferred_element_type=jnp.float32
+            )
             return y + b
 
         # ---- init tree (scratch persists across grid steps: zero everything)
-        emb[:] = jnp.zeros((n, h, g), jnp.float32)
-        emb[pl.ds(0, 1)] = root_h_ref[:][None]
+        emb[:] = jnp.zeros((n, h, g), emb.dtype)
+        emb[pl.ds(0, 1)] = root_h_ref[:][None].astype(emb.dtype)
         prior[:] = jnp.zeros((n, k, g), jnp.float32)
         prior[pl.ds(0, 1)] = root_p_ref[:][None]
         cidx[:] = jnp.full((n, k, g), UNVISITED, jnp.int32)
@@ -364,7 +383,10 @@ def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
             # φ then ψ (decision parent → chance child)
             fuse_a = dense(parent_emb, PHI_FUSE_HH, PHI_FUSE_V)
             fuse_a = fuse_a + jax.lax.dot_general(
-                win_ref[0], a_onehot, dn_in, preferred_element_type=jnp.float32
+                win_ref[0],
+                a_onehot.astype(win_ref.dtype),
+                dn_in,
+                preferred_element_type=jnp.float32,
             )
             x = tower(fuse_a, PHI_HH, PHI_V)
             afterstate = dense(x, PHI_HEAD_HH, PHI_HEAD_V)
@@ -377,7 +399,10 @@ def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
             # g then f (chance parent → decision child)
             fuse_c = dense(parent_emb, G_FUSE_HH, G_FUSE_V)
             fuse_c = fuse_c + jax.lax.dot_general(
-                win_ref[1], c_onehot, dn_in, preferred_element_type=jnp.float32
+                win_ref[1],
+                c_onehot.astype(win_ref.dtype),
+                dn_in,
+                preferred_element_type=jnp.float32,
             )
             x = tower(fuse_c, G_HH, G_V)
             hidden_new = dense(x, G_HEAD_HH, G_HEAD_V)
@@ -408,7 +433,7 @@ def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
 
             # static-row installs at slot si + 1 (unreachable for lanes that
             # hit the depth cap — children_index never points there)
-            emb[pl.ds(new_index, 1)] = emb_new[None]
+            emb[pl.ds(new_index, 1)] = emb_new[None].astype(emb.dtype)
             prior[pl.ds(new_index, 1)] = prior_new[None]
             nrew[pl.ds(new_index, 1)] = edge_reward
             ndis[pl.ds(new_index, 1)] = edge_discount
@@ -515,6 +540,9 @@ def _run_packed(
     assert b % BLOCK_G == 0, f"batch {b} must be a multiple of {BLOCK_G}"
     grid = (b // BLOCK_G,)
     g = BLOCK_G
+    # bf16 weight packs also store the node embeddings bf16: they only feed
+    # matmuls that run in bf16 anyway, and the table is the largest scratch.
+    emb_dtype = jnp.bfloat16 if packed[0].dtype == jnp.bfloat16 else jnp.float32
 
     lanes = lambda rows: pl.BlockSpec((rows, g), lambda i: (0, i), memory_space=pltpu.VMEM)
     whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -530,7 +558,7 @@ def _run_packed(
             jax.ShapeDtypeStruct((1, b), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, h, g), jnp.float32),  # emb
+            pltpu.VMEM((n, h, g), emb_dtype),  # emb
             pltpu.VMEM((n, k, g), jnp.float32),  # prior
             pltpu.VMEM((n, k, g), jnp.int32),  # cidx
             pltpu.VMEM((n, k, g), jnp.float32),  # cvis
@@ -559,6 +587,7 @@ def run_mcts_pallas(
     num_blocks: int | None = None,
     packed=None,
     interpret: bool = False,
+    weight_dtype=jnp.float32,
 ) -> PolicyOutput:
     """Batched stochastic MuZero search, whole-search Pallas kernel.
 
@@ -603,7 +632,7 @@ def run_mcts_pallas(
     probs_padded = jnp.concatenate([root_probs, pad], axis=-1)
 
     if packed is None:
-        packed = pack_search_params(params, num_blocks, k)
+        packed = pack_search_params(params, num_blocks, k, weight_dtype)
 
     visits, qvals, rootv = _run_packed(
         hidden.T.astype(jnp.float32),
@@ -623,3 +652,81 @@ def run_mcts_pallas(
         visit_counts=visits.astype(jnp.int32),
         qvalues=qvals.T,
     )
+
+
+# ---------------------------------------------------------------------------
+# VMEM budget / dispatch support
+# ---------------------------------------------------------------------------
+
+# Leave headroom under the ~16 MB/core VMEM for Mosaic temporaries (the
+# per-expansion matmul chain materializes a few (H, G) / (K, G) activations).
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def search_vmem_bytes(
+    config: SearchConfig, hidden: int, num_blocks: int, weight_dtype=jnp.float32
+) -> int:
+    """Estimated VMEM footprint of one kernel instance (scratch + operands).
+
+    Mirrors ``_run_packed``'s scratch shapes and ``pack_search_params``'s
+    tensor shapes exactly; used by :func:`pallas_search_supported` to decide
+    the Pallas-vs-XLA dispatch per network/search configuration.
+    """
+    s = config.num_simulations
+    n = s + 1
+    k = max(config.num_actions, config.codebook_size)
+    a = config.num_actions
+    h = hidden
+    g = BLOCK_G
+    max_depth = config.max_depth if config.max_depth is not None else s + 1
+    p = min(max_depth, s + 1)
+    wsize = jnp.dtype(weight_dtype).itemsize
+    esize = 2 if jnp.dtype(weight_dtype) == jnp.dtype(jnp.bfloat16) else 4
+
+    tower_hh = 1 + 2 * num_blocks
+    tower_vec = 3 + 6 * num_blocks
+    n_hh = 4 * tower_hh + 4  # f/φ/ψ/g towers + φ fuse/head + g fuse/head
+    n_vec = 4 * tower_vec + 4
+
+    tables = (
+        n * h * g * esize  # emb
+        + n * k * g * 4 * 4  # prior, cidx, cvis, cval
+        + 5 * n * g * 4  # nvis, nval, nrew, ndis, ndec
+        + 2 * p * g * 4  # path_nodes, path_edges
+        + (p + 1) * g * 4  # vbuf
+    )
+    weights = (
+        n_hh * h * h * wsize
+        + h * n_vec * 4  # vecs
+        + 2 * k * h * wsize * 2  # win + wide
+        + k * 2 * 4  # wide_b
+        + h * 8 * 4 + 8 * 4  # scal + scal_b
+    )
+    blocks = (h + k + 1) * g * 4 + (2 * a + 1) * g * 4  # in/out lanes
+    return tables + weights + blocks
+
+
+def pallas_search_supported(
+    config: SearchConfig,
+    hidden: int,
+    num_blocks: int,
+    batch_size: int,
+    weight_dtype=jnp.float32,
+) -> bool:
+    """True iff this (network, search, batch) combination can run the kernel.
+
+    Requirements: the kernel's algorithmic scope (argmax chance selection,
+    no progressive widening), a lane-aligned batch, and a VMEM fit.
+    """
+    return (
+        config.chance_selection == "argmax"
+        and config.pw_c is None
+        and batch_size % BLOCK_G == 0
+        and search_vmem_bytes(config, hidden, num_blocks, weight_dtype)
+        <= VMEM_BUDGET_BYTES
+    )
+
+
+def default_interpret() -> bool:
+    """Interpret mode off-TPU (tests on the CPU mesh), compiled on TPU."""
+    return jax.default_backend() != "tpu"

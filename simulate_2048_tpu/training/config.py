@@ -55,6 +55,20 @@ class TrainConfig:
     # lifted the 30k champion checkpoint from 2186 to 2938 eval with no
     # retraining. 1.0 = paper/reference behavior.
     prior_temperature: float = 1.0
+    # Search execution backend for self-play/eval batches.
+    # - "xla": the fused XLA tree search (search/mcts.py) — every config.
+    # - "pallas": the whole-search VMEM kernel (ops/pallas_search.py); raises
+    #   if the config is outside its scope (argmax chance selection, no
+    #   widening, batch a multiple of 128 lanes, VMEM fit).
+    # - "auto": Pallas on TPU when supported, XLA otherwise.
+    # Default "xla" keeps A/B attribution against earlier runs clean.
+    search_backend: str = "xla"
+    # Weight/embedding storage dtype inside the Pallas search kernel.
+    # "bfloat16" halves the packed-weight + node-embedding VMEM (widening the
+    # configs that fit) and runs expansion matmuls MXU-native; search results
+    # then differ from the XLA path within bf16 noise (a different-but-valid
+    # search — visit totals and legality are exact, see tests).
+    search_weight_dtype: str = "float32"
     # Search in RAW value space: networks predict in h-scaled space, so their
     # value/q/reward outputs are passed through h⁻¹ before the tree's linear
     # r + γ·v backups (paper-faithful). False reproduces the reference, which
@@ -224,6 +238,10 @@ class TrainConfig:
             )
         if self.value_target_mode not in ("search", "td_lambda"):
             raise ValueError("value_target_mode must be 'search' or 'td_lambda'")
+        if self.search_backend not in ("xla", "pallas", "auto"):
+            raise ValueError("search_backend must be 'xla', 'pallas' or 'auto'")
+        if self.search_weight_dtype not in ("float32", "bfloat16"):
+            raise ValueError("search_weight_dtype must be 'float32' or 'bfloat16'")
 
     def get_temperature(self, training_step: int) -> float:
         """Scheduled action-selection temperature (``config.py:96-114``)."""

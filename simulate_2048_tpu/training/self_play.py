@@ -110,6 +110,41 @@ def play_segment(
     if greedy:
         cfg = cfg._replace(dirichlet_fraction=0.0)
 
+    # Search backend: the whole-search Pallas kernel keeps tree tables +
+    # packed weights in VMEM (1.89× the XLA search at B=1024×64 sims,
+    # docs/project.md). Weights are packed ONCE per play_segment call (i.e.
+    # per parameter version), outside the scan.
+    packed = None
+    use_pallas = False
+    if config.search_backend != "xla":
+        from simulate_2048_tpu.ops import pallas_search
+
+        wdtype = (
+            jnp.bfloat16 if config.search_weight_dtype == "bfloat16" else jnp.float32
+        )
+        supported = pallas_search.pallas_search_supported(
+            cfg, config.hidden_size, config.num_residual_blocks, num_games, wdtype
+        )
+        if config.search_backend == "pallas" and not supported:
+            raise ValueError(
+                "search_backend='pallas' but the config is outside the kernel's "
+                "scope (needs argmax chance selection, pw_c=None, batch % "
+                f"{pallas_search.BLOCK_G} == 0, and a VMEM fit — estimated "
+                f"{pallas_search.search_vmem_bytes(cfg, config.hidden_size, config.num_residual_blocks, wdtype) >> 20} MB)"
+            )
+        # "auto" engages only on TPU: interpret mode off-TPU is far slower
+        # than the XLA search and exists for differential tests only.
+        use_pallas = supported and (
+            config.search_backend == "pallas" or not pallas_search.default_interpret()
+        )
+        if use_pallas:
+            packed = pallas_search.pack_search_params(
+                params,
+                config.num_residual_blocks,
+                max(config.action_size, config.codebook_size),
+                wdtype,
+            )
+
     state = env_state
     initial_total = state.total_reward
 
@@ -123,9 +158,24 @@ def play_segment(
         # (the reference passes no mask here, ``self_play.py:108`` — wasting
         # simulations on moves the learned model cannot know are no-ops).
         search_keys = jax.random.split(step_key, num_games + 1)
-        out = jax.vmap(lambda o, k, inv: _search_single(params, apply_fns, o, k, cfg, inv))(
-            obs, search_keys[:num_games], ~legal
-        )
+        if use_pallas:
+            from simulate_2048_tpu.ops import pallas_search
+
+            out = pallas_search.run_mcts_pallas(
+                params,
+                apply_fns,
+                obs,
+                search_keys[:num_games],
+                cfg,
+                ~legal,
+                num_blocks=config.num_residual_blocks,
+                packed=packed,
+                interpret=pallas_search.default_interpret(),
+            )
+        else:
+            out = jax.vmap(
+                lambda o, k, inv: _search_single(params, apply_fns, o, k, cfg, inv)
+            )(obs, search_keys[:num_games], ~legal)
 
         # Train target at temperature 1.0 (``self_play.py:124``).
         policy_target = jax.vmap(lambda po, m: get_policy_target(po, m, 1.0))(out, legal)
@@ -318,6 +368,29 @@ def _evaluate_rollout(
     cfg = search_config_from(config)._replace(dirichlet_fraction=0.0)
     state = envlib.reset_batch(run_seed, num_games)
 
+    # Same backend dispatch as play_segment (Pallas engages for lane-aligned
+    # eval batches on TPU; the 32-game default stays on the XLA path).
+    packed = None
+    use_pallas = False
+    if config.search_backend != "xla":
+        from simulate_2048_tpu.ops import pallas_search
+
+        wdtype = (
+            jnp.bfloat16 if config.search_weight_dtype == "bfloat16" else jnp.float32
+        )
+        use_pallas = pallas_search.pallas_search_supported(
+            cfg, config.hidden_size, config.num_residual_blocks, num_games, wdtype
+        ) and (
+            config.search_backend == "pallas" or not pallas_search.default_interpret()
+        )
+        if use_pallas:
+            packed = pallas_search.pack_search_params(
+                params,
+                config.num_residual_blocks,
+                max(config.action_size, config.codebook_size),
+                wdtype,
+            )
+
     def cond(carry):
         state, t, *_ = carry
         return jnp.any(~state.done) & (t < config.eval_max_moves)
@@ -330,9 +403,24 @@ def _evaluate_rollout(
 
         k, sub = jax.random.split(k)
         search_keys = jax.random.split(sub, num_games)
-        out = jax.vmap(lambda o, kk, inv: _search_single(params, apply_fns, o, kk, cfg, inv))(
-            obs, search_keys, ~legal
-        )
+        if use_pallas:
+            from simulate_2048_tpu.ops import pallas_search
+
+            out = pallas_search.run_mcts_pallas(
+                params,
+                apply_fns,
+                obs,
+                search_keys,
+                cfg,
+                ~legal,
+                num_blocks=config.num_residual_blocks,
+                packed=packed,
+                interpret=pallas_search.default_interpret(),
+            )
+        else:
+            out = jax.vmap(
+                lambda o, kk, inv: _search_single(params, apply_fns, o, kk, cfg, inv)
+            )(obs, search_keys, ~legal)
         actions = jnp.argmax(jnp.where(legal, out.action_weights, 0.0), axis=-1)
 
         # Streaming diagnostics (active games only).
