@@ -35,6 +35,13 @@ def main() -> None:
         "of the XLA search",
     )
     parser.add_argument(
+        "--weight-dtype",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="packed-weight dtype for the Pallas kernel (bf16 halves VMEM and "
+        "runs expansion matmuls MXU-native)",
+    )
+    parser.add_argument(
         "--trace",
         default=None,
         metavar="DIR",
@@ -83,8 +90,11 @@ def main() -> None:
     if args.pallas:
         from simulate_2048_tpu.ops.pallas_search import pack_search_params, run_mcts_pallas
 
+        wdtype = jnp.bfloat16 if args.weight_dtype == "bfloat16" else jnp.float32
         packed = jax.jit(
-            lambda p: pack_search_params(p, cfg.num_residual_blocks, cfg.codebook_size)
+            lambda p: pack_search_params(
+                p, cfg.num_residual_blocks, cfg.codebook_size, wdtype
+            )
         )(network.params)
         run = jax.jit(
             lambda o, k: run_mcts_pallas(

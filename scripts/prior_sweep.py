@@ -51,9 +51,32 @@ def main() -> None:
     parser.add_argument("--step", type=int, default=None)
     parser.add_argument("--games", type=int, default=16)
     parser.add_argument("--seed", type=int, default=77)
+    parser.add_argument(
+        "--variants", default=None, help="comma-separated subset of grid names"
+    )
+    parser.add_argument(
+        "--set",
+        dest="overrides",
+        action="append",
+        default=[],
+        metavar="FIELD=VALUE",
+        help="TrainConfig overrides matching the checkpoint's training config "
+        "(e.g. --set observation_onehot=True for nets trained on lifted obs)",
+    )
     args = parser.parse_args()
 
     cfg = small_config()
+    if args.overrides:
+        import ast
+
+        fields = {}
+        for item in args.overrides:
+            k, _, raw = item.partition("=")
+            try:
+                fields[k] = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                fields[k] = raw
+        cfg = dataclasses.replace(cfg, **fields)
     key = jax.random.PRNGKey(args.seed)
     state, network = create_train_state(jax.random.PRNGKey(0), cfg)
     restored = CheckpointManager(args.ckpt_dir).restore(state, step=args.step)
@@ -71,6 +94,9 @@ def main() -> None:
         ("T4_pb_c_2.5", 4.0, 2.5, cfg.num_simulations),
         ("T4_pb_c_0.5", 4.0, 0.5, cfg.num_simulations),
     ]
+    if args.variants:
+        wanted = set(args.variants.split(","))
+        grid = [g for g in grid if g[0] in wanted]
     for name, t, pb, sims in grid:
         c = dataclasses.replace(cfg, pb_c_init=pb, num_simulations=sims)
         fns = soften_prior(network.apply_fns, t) if t != 1.0 else network.apply_fns
