@@ -55,6 +55,15 @@ class TrainConfig:
     # lifted the 30k champion checkpoint from 2186 to 2938 eval with no
     # retraining. 1.0 = paper/reference behavior.
     prior_temperature: float = 1.0
+    # EVAL-ONLY search calibration overrides (None = use the training values).
+    # The round-2 sweep found prior_temperature=4 + pb_c_init=0.5 lifts a
+    # trained checkpoint ~+750 eval — but the SAME knobs at collection time
+    # are harmful from scratch (a random value net dominates the Q-driven
+    # search and policy-target entropy collapses; runs/showcase_r2_failed_*).
+    # Calibration therefore belongs at evaluation: these apply to
+    # evaluate_full_games / trainer evals only.
+    eval_prior_temperature: float | None = None
+    eval_pb_c_init: float | None = None
     # Search execution backend for self-play/eval batches.
     # - "xla": the fused XLA tree search (search/mcts.py) — every config.
     # - "pallas": the whole-search VMEM kernel (ops/pallas_search.py); raises
