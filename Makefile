@@ -2,13 +2,26 @@
 
 PY ?= python
 
-.PHONY: test test-fast lint bench train-tiny train-small train-full eval play dryrun
+.PHONY: test test-fast test-cov lint bench train-tiny train-small train-full eval play dryrun lock
 
 test:
 	$(PY) -m pytest tests/ -q
 
 test-fast:
 	$(PY) -m pytest tests/ -q -x -m "not slow"
+
+# Coverage target (reference Makefile:32-33). pytest-cov is not in this
+# image; fall back to plain pytest with a notice when it is absent.
+test-cov:
+	$(PY) -c "import pytest_cov" 2>/dev/null \
+		&& $(PY) -m pytest tests/ -q --cov=simulate_2048_tpu --cov-report=term-missing \
+		|| { echo "pytest-cov not installed; running without coverage"; $(PY) -m pytest tests/ -q; }
+
+# Re-pin the dependency lockfile from the live environment (the reference
+# pins via uv.lock; this environment is pre-baked and offline, so the lock
+# records exactly what the parity/perf claims ran against).
+lock:
+	$(PY) -m pip freeze > requirements.lock
 
 lint:
 	ruff check simulate_2048_tpu tests scripts || true

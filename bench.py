@@ -60,11 +60,17 @@ def main() -> None:
     # first block_until_ready can return before the work has drained.
     run(1)
 
-    best = float("inf")
-    for rep in range(3):
+    # Best-of-N with the full sample recorded: the round-1→round-2 result
+    # drifted 10.5% with nothing logged to attribute it to (VERDICT r2 #9) —
+    # the per-rep times + backend/shape provenance make future drift
+    # bisectable from the JSON line alone.
+    reps = 5
+    times = []
+    for rep in range(reps):
         t0 = time.perf_counter()
         run(2 + rep)  # host fetch inside forces device→host sync
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
 
     rate = num_envs * num_steps / best
     print(
@@ -74,6 +80,13 @@ def main() -> None:
                 "value": round(rate, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(rate / BASELINE_STEPS_PER_S, 3),
+                "backend": "pallas_rollout" if on_tpu else "xla_scan",
+                "jax_platform": jax.default_backend(),
+                "device": str(jax.devices()[0].device_kind),
+                "num_envs": num_envs,
+                "num_steps": num_steps,
+                "reps": reps,
+                "times_s": [round(t, 4) for t in times],
             }
         )
     )

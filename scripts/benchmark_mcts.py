@@ -91,10 +91,11 @@ def main() -> None:
         from simulate_2048_tpu.ops.pallas_search import pack_search_params, run_mcts_pallas
 
         wdtype = jnp.bfloat16 if args.weight_dtype == "bfloat16" else jnp.float32
+        # k must agree with run_mcts_pallas's kernel sizing, which uses
+        # max(num_actions, codebook_size) (self_play.py packs the same way).
+        k_width = max(cfg.action_size, cfg.codebook_size)
         packed = jax.jit(
-            lambda p: pack_search_params(
-                p, cfg.num_residual_blocks, cfg.codebook_size, wdtype
-            )
+            lambda p: pack_search_params(p, cfg.num_residual_blocks, k_width, wdtype)
         )(network.params)
         run = jax.jit(
             lambda o, k: run_mcts_pallas(

@@ -87,9 +87,19 @@ def _ring_kernel(x_ref, o_ref, comm, send_sem, recv_sem, ack_sem, *, num_devices
 
 
 def ring_all_reduce_shard(
-    x: Array, *, axis: str, num_devices: int, interpret: bool = False
+    x: Array,
+    *,
+    axis: str,
+    num_devices: int,
+    interpret: bool = False,
+    collective_id: int = 7,
 ) -> Array:
-    """All-reduce-sum of a per-device shard; call INSIDE ``shard_map``."""
+    """All-reduce-sum of a per-device shard; call INSIDE ``shard_map``.
+
+    ``collective_id`` names the barrier semaphore; it must be UNIQUE among
+    collective Pallas kernels that can be live in one program — two kernels
+    sharing an id alias their barriers and can deadlock or misbarrier.
+    """
     if num_devices == 1:
         return x
     kernel = partial(_ring_kernel, num_devices=num_devices, axis=axis)
@@ -104,7 +114,7 @@ def ring_all_reduce_shard(
             pltpu.SemaphoreType.DMA,  # recv
             pltpu.SemaphoreType.REGULAR,  # slot-free ack
         ],
-        compiler_params=pltpu.CompilerParams(collective_id=7),
+        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(x)
 

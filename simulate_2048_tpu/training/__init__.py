@@ -15,6 +15,7 @@ from simulate_2048_tpu.training.losses import (
     inverse_scale_value,
     scale_value,
 )
+from simulate_2048_tpu.training.reanalyze import reanalyze_pass, reanalyze_slots
 from simulate_2048_tpu.training.replay import (
     BufferState,
     Trajectory,
@@ -51,6 +52,8 @@ __all__ = [
     "init_buffer",
     "inverse_scale_value",
     "play_games",
+    "reanalyze_pass",
+    "reanalyze_slots",
     "sample_batch",
     "scale_value",
     "small_config",

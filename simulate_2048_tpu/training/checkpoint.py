@@ -33,12 +33,17 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
 
-    def save(self, state: TrainState, step: int | None = None, buffer=None) -> None:
+    def save(
+        self, state: TrainState, step: int | None = None, buffer=None, runtime=None
+    ) -> None:
         """Persist the full train state (``learner.py:370-393``).
 
         Pass ``buffer`` (a replay ``BufferState``) to checkpoint experience
         too — the reference never persists its buffer (SURVEY.md §5.4), so a
-        resumed reference run restarts from an empty one.
+        resumed reference run restarts from an empty one. ``runtime`` is an
+        optional small pytree-dict of trainer-loop state (carried self-play
+        env state, cross-segment-backfill bookkeeping) so a resume continues
+        the in-flight games instead of silently dropping them (VERDICT r2 #7).
         """
         step = int(state.step) if step is None else step
         payload = {
@@ -49,8 +54,24 @@ class CheckpointManager:
         items = {"state": ocp.args.StandardSave(payload)}
         if buffer is not None:
             items["buffer"] = ocp.args.StandardSave(jax.tree.map(np.asarray, buffer._asdict()))
+        if runtime is not None:
+            items["runtime"] = ocp.args.StandardSave(jax.tree.map(np.asarray, runtime))
         self._manager.save(step, args=ocp.args.Composite(**items))
         self._manager.wait_until_finished()
+
+    def restore_runtime(self, template: dict, step: int | None = None):
+        """Restore the trainer-runtime payload; None if absent (old ckpts)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        try:
+            restored = self._manager.restore(
+                step,
+                args=ocp.args.Composite(runtime=ocp.args.StandardRestore(template)),
+            )
+        except (KeyError, ValueError, FileNotFoundError):
+            return None
+        return restored["runtime"]
 
     def restore_buffer(self, template, step: int | None = None):
         """Restore a checkpointed replay buffer; None if absent."""

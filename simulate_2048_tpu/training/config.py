@@ -60,15 +60,20 @@ class TrainConfig:
     # trained checkpoint ~+750 eval — but the SAME knobs at collection time
     # are harmful from scratch (a random value net dominates the Q-driven
     # search and policy-target entropy collapses; runs/showcase_r2_failed_*).
-    # Calibration therefore belongs at evaluation: these apply to
-    # evaluate_full_games / trainer evals only.
+    # Calibration therefore belongs at evaluation: self_play.search_config_from
+    # applies these in eval_mode (evaluate_games / trainer evals / greedy
+    # play_segment) and never at collection; tests/test_self_play.py::
+    # TestEvalSearchCalibration pins the wiring.
     eval_prior_temperature: float | None = None
     eval_pb_c_init: float | None = None
     # Search execution backend for self-play/eval batches.
     # - "xla": the fused XLA tree search (search/mcts.py) — every config.
     # - "pallas": the whole-search VMEM kernel (ops/pallas_search.py); raises
     #   if the config is outside its scope (argmax chance selection, no
-    #   widening, batch a multiple of 128 lanes, VMEM fit).
+    #   widening, batch a multiple of 128 lanes, VMEM fit). The raise applies
+    #   to SELF-PLAY batches (play_segment); evaluation batches fall back to
+    #   XLA when not lane-aligned (e.g. the 32-game default) rather than
+    #   forcing eval_games to a multiple of 128.
     # - "auto": Pallas on TPU when supported, XLA otherwise.
     # Default "xla" keeps A/B attribution against earlier runs clean.
     search_backend: str = "xla"
@@ -161,6 +166,21 @@ class TrainConfig:
     # collection-time targets are final (reference/paper behavior).
     cross_segment_backfill: bool = False
 
+    # Reanalyze (MuZero Reanalyse; training/reanalyze.py): every
+    # reanalyze_interval learner steps, refresh the value targets (and, in
+    # "search" mode, the policy targets) of reanalyze_episodes buffered
+    # episodes with the CURRENT network, round-robin over the buffer. None =
+    # off (reference/paper-2048 behavior: targets frozen at collection —
+    # the round-2 root cause of the value function pinning at its myopic
+    # fixed point, docs/project.md). "value" mode re-bootstraps the TD(λ)
+    # recursion with fresh f-values (one forward pass per position);
+    # "search" mode re-runs MCTS per position (reanalyze_num_simulations,
+    # None = num_simulations) and rewrites policy targets too.
+    reanalyze_interval: int | None = None
+    reanalyze_episodes: int = 32
+    reanalyze_mode: str = "value"
+    reanalyze_num_simulations: int | None = None
+
     # Stop generating new self-play data once the learner reaches this step
     # (None = never). Diagnostic knob for the round-2 decline A/Bs: training
     # past the freeze point isolates optimization churn from data poisoning.
@@ -247,6 +267,8 @@ class TrainConfig:
             )
         if self.value_target_mode not in ("search", "td_lambda"):
             raise ValueError("value_target_mode must be 'search' or 'td_lambda'")
+        if self.reanalyze_mode not in ("value", "search"):
+            raise ValueError("reanalyze_mode must be 'value' or 'search'")
         if self.search_backend not in ("xla", "pallas", "auto"):
             raise ValueError("search_backend must be 'xla', 'pallas' or 'auto'")
         if self.search_weight_dtype not in ("float32", "bfloat16"):

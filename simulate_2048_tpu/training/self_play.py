@@ -50,8 +50,23 @@ class GenStats(NamedTuple):
     first_search_value: Array  # (B,)
 
 
-def search_config_from(config: TrainConfig) -> SearchConfig:
-    """Lift the MCTS block of a TrainConfig into a SearchConfig."""
+def search_config_from(config: TrainConfig, eval_mode: bool = False) -> SearchConfig:
+    """Lift the MCTS block of a TrainConfig into a SearchConfig.
+
+    With ``eval_mode=True``, the eval-only calibration overrides
+    ``eval_prior_temperature`` / ``eval_pb_c_init`` replace the training
+    values when set: the round-2 sweep measured prior_temperature=4 +
+    pb_c_init=0.5 worth ~+750 eval on a trained checkpoint while the same
+    knobs at COLLECTION time are harmful from scratch (docs/project.md), so
+    calibration applies to greedy evaluation searches only.
+    """
+    prior_temperature = config.prior_temperature
+    pb_c_init = config.pb_c_init
+    if eval_mode:
+        if config.eval_prior_temperature is not None:
+            prior_temperature = config.eval_prior_temperature
+        if config.eval_pb_c_init is not None:
+            pb_c_init = config.eval_pb_c_init
     return SearchConfig(
         num_simulations=config.num_simulations,
         num_actions=config.action_size,
@@ -59,13 +74,13 @@ def search_config_from(config: TrainConfig) -> SearchConfig:
         discount=config.discount,
         dirichlet_alpha=config.dirichlet_alpha,
         dirichlet_fraction=config.dirichlet_fraction,
-        pb_c_init=config.pb_c_init,
+        pb_c_init=pb_c_init,
         pb_c_base=config.pb_c_base,
         max_depth=config.search_max_depth,
         chance_selection=config.chance_selection,
         pw_c=config.pw_c,
         pw_alpha=config.pw_alpha,
-        prior_temperature=config.prior_temperature,
+        prior_temperature=prior_temperature,
         value_transform_epsilon=(
             config.value_epsilon if config.search_untransform_values else None
         ),
@@ -83,7 +98,7 @@ def play_segment(
     num_games: int,
     greedy: bool = False,
     num_steps: int | None = None,
-) -> tuple["envlib.GameState", Trajectory]:
+) -> tuple["envlib.GameState", Trajectory, GenStats]:
     """Play one trajectory SEGMENT from wherever the games currently are.
 
     The reference caps whole games at 200 moves (``self_play.py:314`` — its
@@ -102,11 +117,15 @@ def play_segment(
     - ``temperature`` is traced, so one compiled program serves the whole
       schedule.
 
-    Returns ``(next_env_state, trajectory)``; the trajectory's
-    ``total_reward`` is the reward earned within this segment.
+    Returns ``(next_env_state, trajectory, gen_stats)``; the trajectory's
+    ``total_reward`` is the reward earned within this segment and
+    ``gen_stats`` carries the on-device collection diagnostics
+    (:class:`GenStats`; finish with :func:`finish_gen_stats`).
     """
     t_max = num_steps or config.max_trajectory_length
-    cfg = search_config_from(config)
+    # greedy ⇔ evaluation semantics: the eval-only search-calibration
+    # overrides apply and root Dirichlet noise is disabled.
+    cfg = search_config_from(config, eval_mode=greedy)
     if greedy:
         cfg = cfg._replace(dirichlet_fraction=0.0)
 
@@ -290,22 +309,19 @@ def generate_games(
     training_step: int,
     num_games: int | None = None,
     env_state: "envlib.GameState | None" = None,
-) -> "tuple[envlib.GameState, Trajectory] | Trajectory":
+) -> "tuple[envlib.GameState, Trajectory, GenStats] | Trajectory":
     """Self-play generation entry point (``self_play.py:396-457``).
 
     With ``env_state`` given, plays one SEGMENT continuing those games and
-    returns ``(next_env_state, trajectory)`` — the trainer threads this so
-    games span generations instead of being capped at one segment. Without
+    returns ``(next_env_state, trajectory, gen_stats)`` — the trainer threads
+    the state so games span generations instead of being capped at one
+    segment, and logs the :class:`GenStats` collection diagnostics. Without
     it, plays fresh episodes and returns just the trajectory (stateless,
     reference-shaped API).
 
     With ``config.value_target_mode == "td_lambda"`` the stored value targets
     are TD(λ) n-step returns over the trajectories instead of raw search
     values (see :func:`compute_n_step_returns`).
-
-    Segment mode returns ``(next_env_state, trajectory, gen_stats)`` where
-    ``gen_stats`` is a :class:`GenStats` of on-device collection diagnostics
-    (finish with :func:`finish_gen_stats` for loggable means).
     """
     temperature = jnp.float32(config.get_temperature(training_step))
     n = num_games or config.num_parallel_games
@@ -365,7 +381,7 @@ def _evaluate_rollout(
     ends (up to ``eval_max_moves``) and accumulates search entropy / values /
     encoder code usage on the fly, so eval cost tracks actual game length.
     """
-    cfg = search_config_from(config)._replace(dirichlet_fraction=0.0)
+    cfg = search_config_from(config, eval_mode=True)._replace(dirichlet_fraction=0.0)
     state = envlib.reset_batch(run_seed, num_games)
 
     # Same backend dispatch as play_segment (Pallas engages for lane-aligned
@@ -565,6 +581,7 @@ def compute_n_step_returns(
     lengths: Array,
     config: TrainConfig,
     terminated: Array | None = None,
+    tail_value: Array | None = None,
 ) -> Array:
     """TD(λ) n-step value targets over a trajectory batch.
 
@@ -586,6 +603,14 @@ def compute_n_step_returns(
     crossed a segment — a bias that compounds across segment chains exactly
     when the agent starts playing games longer than one segment
     (docs/project.md round-2 soak analysis).
+
+    ``tail_value`` (B,), when given, is a value estimate of the board AFTER
+    the last stored position (the segment's closing board, which the tape
+    stores but collection-time search never evaluates). The truncated
+    boundary target then becomes r_last + γ·tail_value — one more real reward
+    grounded than the ν_last convention. Reanalyze passes use this: the
+    current network can evaluate the closing board where the collection-time
+    recursion could not (``training/reanalyze.py``).
     """
     gamma, lam = config.discount, config.td_lambda
     t_max = rewards.shape[-1]
@@ -597,6 +622,9 @@ def compute_n_step_returns(
     )
     last = jnp.maximum(lengths - 1, 0)
     last_value = jnp.take_along_axis(values, last[:, None], axis=-1)[:, 0]
+    if tail_value is not None:
+        last_reward = jnp.take_along_axis(rewards, last[:, None], axis=-1)[:, 0]
+        last_value = last_reward + gamma * tail_value
     is_last = steps[None, :] + 1 == lengths[:, None]
     # Positions whose target is forced to ν_last (truncated-segment boundary).
     force = is_last & ~term[:, None]

@@ -220,3 +220,34 @@ class TestSegmentedGames:
         # so the absorbing-state masking (value 0) must never trigger.
         assert (np.asarray(batch.target_values) == 7.0).all()
         assert (np.asarray(batch.target_rewards) == 1.0).all()
+
+
+class TestEvalSearchCalibration:
+    """The eval-only calibration overrides must reach SearchConfig in eval
+    mode and ONLY in eval mode (round-2's +750-eval knobs; VERDICT r2 #2)."""
+
+    def test_overrides_reach_search_config_in_eval_mode(self):
+        from simulate_2048_tpu.training.self_play import search_config_from
+
+        cfg = replace(CFG, eval_prior_temperature=4.0, eval_pb_c_init=0.5)
+        train_sc = search_config_from(cfg)
+        eval_sc = search_config_from(cfg, eval_mode=True)
+        assert train_sc.prior_temperature == cfg.prior_temperature
+        assert train_sc.pb_c_init == cfg.pb_c_init
+        assert eval_sc.prior_temperature == 4.0
+        assert eval_sc.pb_c_init == 0.5
+
+    def test_none_overrides_keep_training_values(self):
+        from simulate_2048_tpu.training.self_play import search_config_from
+
+        cfg = replace(CFG, prior_temperature=2.0, pb_c_init=1.5)
+        eval_sc = search_config_from(cfg, eval_mode=True)
+        assert eval_sc.prior_temperature == 2.0
+        assert eval_sc.pb_c_init == 1.5
+
+    def test_eval_games_run_with_overrides(self, setup):
+        state, network = setup
+        cfg = replace(CFG, eval_prior_temperature=4.0, eval_pb_c_init=0.5)
+        stats = evaluate_games(state.params, network.apply_fns, jax.random.PRNGKey(3), cfg, 2)
+        assert np.isfinite(stats["mean_reward"])
+        assert stats["mean_length"] > 0
