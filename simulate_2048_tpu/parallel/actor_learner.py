@@ -125,6 +125,7 @@ class LearnerServer:
         self._listener = socket.create_server((host, port))
         self.address: tuple[str, int] = self._listener.getsockname()[:2]
         self.trajectories_received = 0
+        self.trajectories_dropped = 0
         self.params_served = 0
         self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
         self.publish_params()
@@ -144,22 +145,48 @@ class LearnerServer:
             threading.Thread(target=self._serve_connection, args=(conn,), daemon=True).start()
 
     def _serve_connection(self, conn: socket.socket) -> None:
-        with conn:
-            while not self._stop.is_set():
-                msg = _recv_msg(conn)
-                if msg is None:
-                    return
-                kind = msg.get("kind")
-                if kind == "trajectories":
-                    self._traj_queue.put(msg["payload"])
-                    _send_msg(conn, {"kind": "ack"})
-                elif kind == "get_params":
-                    with self._params_lock:
-                        step, params = self._latest_params
-                        self.params_served += 1
-                    _send_msg(conn, {"kind": "params", "step": step, "payload": params})
-                else:
-                    _send_msg(conn, {"kind": "error", "message": f"unknown kind {kind!r}"})
+        # A misbehaving or dying actor must never take the server down: any
+        # transport/decode failure drops THIS connection only. A clean
+        # mid-message disconnect surfaces as _recv_msg → None.
+        try:
+            with conn:
+                while not self._stop.is_set():
+                    msg = _recv_msg(conn)
+                    if msg is None:
+                        return
+                    kind = msg.get("kind")
+                    if kind == "trajectories":
+                        self._enqueue(msg["payload"])
+                        _send_msg(conn, {"kind": "ack"})
+                    elif kind == "get_params":
+                        with self._params_lock:
+                            step, params = self._latest_params
+                            self.params_served += 1
+                        _send_msg(conn, {"kind": "params", "step": step, "payload": params})
+                    else:
+                        _send_msg(conn, {"kind": "error", "message": f"unknown kind {kind!r}"})
+        except (OSError, EOFError, pickle.UnpicklingError, struct.error, ValueError):
+            return  # connection-local failure; the accept loop keeps serving
+
+    def _enqueue(self, payload: Any) -> None:
+        """Queue a trajectory batch without ever blocking the serving thread.
+
+        A blocking ``put`` on a full queue would stall this connection's
+        reads (and, through TCP backpressure, the actor). Freshest-data-wins
+        instead: drop the OLDEST queued batch — stale trajectories are the
+        least valuable, and the learner's drain keeps the queue near-empty in
+        healthy operation. Drops are counted (``trajectories_dropped``).
+        """
+        while True:
+            try:
+                self._traj_queue.put_nowait(payload)
+                return
+            except queue.Full:
+                try:
+                    self._traj_queue.get_nowait()
+                    self.trajectories_dropped += 1
+                except queue.Empty:
+                    pass  # a drain raced us; retry the put
 
     # -- training ----------------------------------------------------------
 
@@ -259,6 +286,9 @@ class ActorClient:
     ):
         self.config = config
         self.num_games = num_games or config.num_parallel_games
+        self.learner_address = learner_address
+        self.connect_timeout_s = connect_timeout_s
+        self.reconnects = 0
         self._key = jax.random.PRNGKey(seed)
         # Apply fns only; parameters always come from the learner.
         self._network = create_network(
@@ -279,10 +309,31 @@ class ActorClient:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _rpc(self, msg: dict, retries: int = 3) -> Any:
+        """Send one request and read its reply, transparently redialing the
+        learner on a broken/closed channel (learner restart, transient
+        network failure). Generation work is never lost: the caller simply
+        re-sends the same message on the fresh connection."""
+        for attempt in range(retries + 1):
+            try:
+                _send_msg(self._sock, msg)
+                reply = _recv_msg(self._sock)
+                if reply is not None:
+                    return reply
+                raise ConnectionError("learner closed the channel")
+            except (OSError, ConnectionError):
+                if attempt == retries:
+                    raise
+                try:
+                    self._sock.close()
+                except OSError:
+                    pass
+                self._sock = connect_with_retry(self.learner_address, self.connect_timeout_s)
+                self.reconnects += 1
+
     def fetch_params(self) -> Any:
-        _send_msg(self._sock, {"kind": "get_params"})
-        reply = _recv_msg(self._sock)
-        assert reply is not None and reply["kind"] == "params", reply
+        reply = self._rpc({"kind": "get_params"})
+        assert reply["kind"] == "params", reply
         self.learner_step = reply["step"]
         return reply["payload"]
 
@@ -303,9 +354,8 @@ class ActorClient:
                 num_games=self.num_games,
                 env_state=self._env_state,
             )
-            _send_msg(self._sock, {"kind": "trajectories", "payload": _to_numpy(traj)})
-            ack = _recv_msg(self._sock)
-            assert ack is not None and ack["kind"] == "ack", ack
+            ack = self._rpc({"kind": "trajectories", "payload": _to_numpy(traj)})
+            assert ack["kind"] == "ack", ack
             self.generations += 1
             if on_generation is not None:
                 on_generation(gen, self.learner_step)

@@ -75,3 +75,87 @@ def test_actors_feed_learner_and_pull_params():
     for steps in actor_steps:
         assert steps == sorted(steps), "learner step must be monotone in actor pulls"
     assert server.params_served >= 17
+
+
+class TestFailurePaths:
+    """Failure-path coverage (VERDICT r2 #8): full-queue backpressure, actor
+    death mid-message, corrupt frames, and learner-channel loss."""
+
+    @pytest.fixture()
+    def server(self):
+        config = micro_config()
+        trainer = Trainer(config, seed=0)
+        trainer.initialize()
+        server = LearnerServer(trainer, port=0).start()
+        yield server
+        server.close()
+
+    def test_full_queue_drops_oldest_never_blocks(self, server):
+        import queue as queue_mod
+
+        server._traj_queue = queue_mod.Queue(maxsize=2)
+        for payload in ("a", "b", "c", "d"):
+            server._enqueue(payload)  # must return promptly even when full
+        assert server.trajectories_dropped == 2
+        # Freshest-wins: the two NEWEST batches survive.
+        assert [server._traj_queue.get_nowait() for _ in range(2)] == ["c", "d"]
+
+    def test_actor_death_mid_message_leaves_server_alive(self, server):
+        import socket as socket_mod
+        import struct as struct_mod
+
+        # A client dies after sending half a length header...
+        sock = socket_mod.create_connection(server.address)
+        sock.sendall(b"\x00\x00\x00")
+        sock.close()
+        # ...and another dies mid-BODY (header promises more than it sends).
+        sock = socket_mod.create_connection(server.address)
+        sock.sendall(struct_mod.pack("!Q", 1000) + b"partial")
+        sock.close()
+
+        # The server must still serve a healthy client.
+        actor = ActorClient(micro_config(), server.address, seed=5)
+        actor.fetch_params()
+        assert actor.learner_step == 0
+        actor.close()
+
+    def test_corrupt_frame_drops_connection_not_server(self, server):
+        import socket as socket_mod
+        import struct as struct_mod
+
+        sock = socket_mod.create_connection(server.address)
+        garbage = b"\x93NOT-PICKLE\xff\xfe"
+        sock.sendall(struct_mod.pack("!Q", len(garbage)) + garbage)
+        # The server drops this connection (no reply); subsequent clients work.
+        sock.settimeout(5.0)
+        assert sock.recv(1) == b""  # orderly close from the server side
+        sock.close()
+
+        actor = ActorClient(micro_config(), server.address, seed=6)
+        actor.fetch_params()
+        actor.close()
+
+    def test_actor_reconnects_after_channel_loss(self, server):
+        actor = ActorClient(micro_config(), server.address, seed=7)
+        actor.fetch_params()
+        # Simulate a broken channel (learner restart / network blip): the
+        # next RPC must transparently redial instead of raising.
+        actor._sock.close()
+        actor.fetch_params()
+        assert actor.reconnects == 1
+        assert actor.learner_step == 0
+        actor.close()
+
+    def test_exhausted_retries_raise(self):
+        config = micro_config()
+        trainer = Trainer(config, seed=0)
+        trainer.initialize()
+        server = LearnerServer(trainer, port=0).start()
+        actor = ActorClient(config, server.address, seed=8, connect_timeout_s=1.0)
+        # Learner gone for good: listener closed AND the established channel
+        # broken — every redial now hits a dead address.
+        server.close()
+        actor._sock.close()
+        with pytest.raises((OSError, ConnectionError)):
+            actor.fetch_params()
+        actor.close()
