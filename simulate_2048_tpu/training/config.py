@@ -180,6 +180,14 @@ class TrainConfig:
     reanalyze_episodes: int = 32
     reanalyze_mode: str = "value"
     reanalyze_num_simulations: int | None = None
+    # Search calibration for "search"-mode reanalyze (None = training values).
+    # Rationale: reanalyzed policy targets should come from the STRONGEST
+    # searcher available, and the round-2 sweep measured prior_temperature=4 +
+    # pb_c_init=0.5 (hand the search to Q) worth ~+750 eval on the same
+    # weights — reanalyze with these set distills the calibrated searcher
+    # back into the prior without touching collection or eval protocols.
+    reanalyze_prior_temperature: float | None = None
+    reanalyze_pb_c_init: float | None = None
 
     # Stop generating new self-play data once the learner reaches this step
     # (None = never). Diagnostic knob for the round-2 decline A/Bs: training

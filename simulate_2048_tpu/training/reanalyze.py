@@ -104,6 +104,10 @@ def reanalyze_slots(
         cfg = search_config_from(config)
         if config.reanalyze_num_simulations is not None:
             cfg = cfg._replace(num_simulations=config.reanalyze_num_simulations)
+        if config.reanalyze_prior_temperature is not None:
+            cfg = cfg._replace(prior_temperature=config.reanalyze_prior_temperature)
+        if config.reanalyze_pb_c_init is not None:
+            cfg = cfg._replace(pb_c_init=config.reanalyze_pb_c_init)
         roots = obs[:, :t].reshape(n * t, 16)
         board_exp = boards_i8[:, :t].reshape(n * t, 4, 4).astype(jnp.int32)
         legal = ops.legal_actions_mask(board_exp)  # (n·T, 4)

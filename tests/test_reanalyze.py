@@ -200,3 +200,24 @@ class TestTrainerIntegration:
         tr.fill_buffer(verbose=False)
         tr.train(num_steps=4, verbose=False)
         assert tr._reanalyze_cursor > 0  # passes actually ran
+
+
+class TestReanalyzeCalibration:
+    def test_calibration_knobs_reach_search_and_change_targets(self, net):
+        state, network = net
+        base = replace(CFG, reanalyze_mode="search", reanalyze_num_simulations=4)
+        calib = replace(
+            base, reanalyze_prior_temperature=4.0, reanalyze_pb_c_init=0.5
+        )
+        slots = jnp.arange(4, dtype=jnp.int32)
+        key = jax.random.PRNGKey(11)
+        # reanalyze_slots donates its buffer — build one per call.
+        buf_a, _ = make_buffer(base, length=6, terminated=True, seed=3)
+        out_a = reanalyze_slots(buf_a, state.params, network.apply_fns, slots, base, key)
+        buf_b, _ = make_buffer(base, length=6, terminated=True, seed=3)
+        out_b = reanalyze_slots(buf_b, state.params, network.apply_fns, slots, calib, key)
+        # Same key, different search calibration → different visit targets.
+        assert not np.allclose(
+            np.asarray(out_a.policies[:4], np.float32),
+            np.asarray(out_b.policies[:4], np.float32),
+        )
