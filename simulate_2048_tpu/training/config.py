@@ -226,6 +226,12 @@ class TrainConfig:
     reward_loss_weight: float = 1.0
     chance_loss_weight: float = 1.0
     commitment_loss_weight: float = 0.25
+    # Afterstate value loss: paper Eq. 5 trains ψ's Q^k toward the same z
+    # target as the position's value; the reference never does, leaving its
+    # Q head AT RANDOM INIT while search backs it up into every chance node
+    # (``stochastic_mctx.py:155-165``). 0 reproduces that (keeps earlier-arm
+    # attribution clean); 0.25 = paper-faithful (same scale as value).
+    afterstate_value_loss_weight: float = 0.0
 
     # Chance-target mode. 2048's chance event is FULLY OBSERVED: the spawn is
     # one of 16 cells × {2, 4} = 32 outcomes = the paper's codebook size, so a

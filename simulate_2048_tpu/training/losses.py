@@ -50,6 +50,7 @@ class LossOutput(NamedTuple):
     commitment_loss: Array
     codebook_entropy: Array
     consistency_loss: Array = jnp.float32(0)
+    afterstate_value_loss: Array = jnp.float32(0)
 
 
 class TrainingTargets(NamedTuple):
@@ -238,7 +239,7 @@ def compute_loss(
             h_true = None
 
         def unroll_step(carry, step):
-            state, acc_p, acc_v, acc_r, acc_c, acc_commit, acc_cons = carry
+            state, acc_p, acc_v, acc_r, acc_c, acc_commit, acc_cons, acc_q = carry
             action_onehot = jax.nn.one_hot(sample.actions[step], config.action_size)
 
             # MuZero App. G: scale the gradient entering each dynamics step
@@ -251,8 +252,19 @@ def compute_loss(
             afterstate = apply_fns.afterstate_dynamics(
                 params.afterstate_dynamics, state, action_onehot
             )
-            _q, chance_logits = apply_fns.afterstate_prediction(
+            q_pred, chance_logits = apply_fns.afterstate_prediction(
                 params.afterstate_prediction, afterstate
+            )
+
+            # Afterstate value loss (paper Eq. 5 trains Q^k toward z_{t+k};
+            # the reference never does — SURVEY §2.4 #20 lists no Q term, so
+            # its ψ Q-head keeps its random init even though search backs it
+            # up into every chance node, ``stochastic_mctx.py:155-165`` /
+            # ``search/mcts.py:350,368``). Q(as_t) ≈ E_c[r_t + γV(s_{t+1})]
+            # = the same z_t target as the position's value. Config-gated
+            # (afterstate_value_loss_weight, 0 = reference behavior).
+            step_q = value_loss(
+                q_pred, sample.target_values[step], config.value_epsilon
             )
 
             step_c = chance_loss(chance_logits, chance_target[step]) * chance_mask[step]
@@ -289,10 +301,20 @@ def compute_loss(
                 acc_c + step_c,
                 acc_commit + commit_all[step],
                 acc_cons + step_cons,
+                acc_q + step_q,
             ), None
 
-        init = (hidden, p0, v0, jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0))
-        (_, tot_p, tot_v, tot_r, tot_c, tot_commit, tot_cons), _ = lax.scan(
+        init = (
+            hidden,
+            p0,
+            v0,
+            jnp.float32(0),
+            jnp.float32(0),
+            jnp.float32(0),
+            jnp.float32(0),
+            jnp.float32(0),
+        )
+        (_, tot_p, tot_v, tot_r, tot_c, tot_commit, tot_cons, tot_q), _ = lax.scan(
             unroll_step, init, jnp.arange(k_steps)
         )
         if use_encoder:
@@ -314,6 +336,7 @@ def compute_loss(
                 commitment_loss=tot_commit / k_steps,
                 codebook_entropy=jnp.float32(0),
                 consistency_loss=tot_cons / n_chance,
+                afterstate_value_loss=tot_q / k_steps,
             ),
             usage,
         )
@@ -344,6 +367,7 @@ def compute_loss(
     mean_c = reduce(batch_losses.chance_loss)
     mean_commit = reduce(batch_losses.commitment_loss)
     mean_cons = reduce(batch_losses.consistency_loss)
+    mean_q = reduce(batch_losses.afterstate_value_loss)
 
     total = (
         config.policy_loss_weight * mean_p
@@ -352,8 +376,17 @@ def compute_loss(
         + config.chance_loss_weight * mean_c
         + config.commitment_loss_weight * mean_commit
         + config.consistency_loss_weight * mean_cons
+        + config.afterstate_value_loss_weight * mean_q
         - config.codebook_entropy_weight * codebook_entropy
     )
     return total, LossOutput(
-        total, mean_p, mean_v, mean_r, mean_c, mean_commit, codebook_entropy, mean_cons
+        total,
+        mean_p,
+        mean_v,
+        mean_r,
+        mean_c,
+        mean_commit,
+        codebook_entropy,
+        mean_cons,
+        mean_q,
     )

@@ -297,6 +297,7 @@ class Trainer:
                     "commitment_loss": float(loss_output.commitment_loss),
                     "codebook_entropy": float(loss_output.codebook_entropy),
                     "consistency_loss": float(loss_output.consistency_loss),
+                    "afterstate_value_loss": float(loss_output.afterstate_value_loss),
                     "steps_per_s": sps,
                     "buffer_size": int(self.buffer.size),
                 }

@@ -573,3 +573,41 @@ class TestEncoderNoise:
             net.params, net.apply_fns, batch, cfg, None, jax.random.PRNGKey(3)
         )
         assert np.isfinite(float(total))
+
+
+class TestAfterstateValueLoss:
+    """Paper Eq. 5 trains ψ's Q toward z; the reference leaves the Q head at
+    random init while search backs it up into every chance node."""
+
+    def test_q_head_trains_only_when_weighted(self):
+        from simulate_2048_tpu.training import train_step
+        from simulate_2048_tpu.training.replay import init_buffer, sample_batch
+
+        def q_head_leaves(params):
+            return jax.tree.leaves(
+                params.afterstate_prediction["params"]["q_value"]
+            )
+
+        for weight, expect_change in ((0.0, False), (0.25, True)):
+            cfg = replace(
+                CFG,
+                hidden_size=16,
+                num_residual_blocks=1,
+                batch_size=8,
+                warmup_steps=0,  # LR ramps from 0 — step 0 would be a no-op
+                afterstate_value_loss_weight=weight,
+            )
+            state, network = create_train_state(jax.random.PRNGKey(0), cfg)
+            before = [np.asarray(x).copy() for x in q_head_leaves(state.params)]
+            buf = add_trajectories(init_buffer(cfg), make_trajectories(4, 8, cfg))
+            batch, _, _ = sample_batch(buf, jax.random.PRNGKey(1), 8, cfg)
+            optimizer = create_optimizer(cfg)
+            new_state, loss_output, _ = train_step(
+                state, network.apply_fns, batch, None, cfg, optimizer
+            )
+            after = q_head_leaves(new_state.params)
+            changed = any(
+                not np.array_equal(b, np.asarray(a)) for b, a in zip(before, after)
+            )
+            assert changed == expect_change, f"weight={weight}"
+            assert float(loss_output.afterstate_value_loss) > 0  # logged either way
