@@ -70,19 +70,29 @@ class Representation(nn.Module):
 
 
 class Prediction(nn.Module):
-    """f: hidden → (policy logits, value) (``models.py:152-205``)."""
+    """f: hidden → (policy logits, value) (``models.py:152-205``).
+
+    With ``value_bins == 1`` (reference-faithful) the value output is an
+    h-space scalar. With ``value_bins > 1`` it is categorical-head logits of
+    shape ``[..., value_bins]`` over :mod:`~simulate_2048_tpu.ops.distributional`'s
+    support; ``models.network`` wraps the scalar-facing API with the
+    expectation so search/eval consumers are unchanged.
+    """
 
     action_size: int = NUM_ACTIONS
     hidden_size: int = DEFAULT_HIDDEN
     num_blocks: int = DEFAULT_BLOCKS
     compute_dtype: Dtype = jnp.float32
+    value_bins: int = 1
 
     @nn.compact
     def __call__(self, state: Array) -> tuple[Array, Array]:
         x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(state)
         policy_logits = nn.Dense(self.action_size, dtype=jnp.float32, name="policy_logits")(x)
-        value = nn.Dense(1, dtype=jnp.float32, name="value")(x)
-        return policy_logits, jnp.squeeze(value, axis=-1)
+        value = nn.Dense(self.value_bins, dtype=jnp.float32, name="value")(x)
+        if self.value_bins == 1:
+            return policy_logits, jnp.squeeze(value, axis=-1)
+        return policy_logits, value
 
 
 class AfterstateDynamics(nn.Module):
@@ -106,19 +116,26 @@ class AfterstateDynamics(nn.Module):
 
 
 class AfterstatePrediction(nn.Module):
-    """ψ: afterstate → (Q value, chance logits) (``models.py:263-317``)."""
+    """ψ: afterstate → (Q value, chance logits) (``models.py:263-317``).
+
+    ``value_bins`` behaves as in :class:`Prediction` (scalar when 1,
+    categorical logits otherwise).
+    """
 
     codebook_size: int = DEFAULT_CODEBOOK
     hidden_size: int = DEFAULT_HIDDEN
     num_blocks: int = DEFAULT_BLOCKS
     compute_dtype: Dtype = jnp.float32
+    value_bins: int = 1
 
     @nn.compact
     def __call__(self, afterstate: Array) -> tuple[Array, Array]:
         x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(afterstate)
-        q_value = nn.Dense(1, dtype=jnp.float32, name="q_value")(x)
+        q_value = nn.Dense(self.value_bins, dtype=jnp.float32, name="q_value")(x)
         chance_logits = nn.Dense(self.codebook_size, dtype=jnp.float32, name="chance_logits")(x)
-        return jnp.squeeze(q_value, axis=-1), chance_logits
+        if self.value_bins == 1:
+            return jnp.squeeze(q_value, axis=-1), chance_logits
+        return q_value, chance_logits
 
 
 class Dynamics(nn.Module):
@@ -128,6 +145,7 @@ class Dynamics(nn.Module):
     codebook_size: int = DEFAULT_CODEBOOK
     num_blocks: int = DEFAULT_BLOCKS
     compute_dtype: Dtype = jnp.float32
+    reward_bins: int = 1
 
     @nn.compact
     def __call__(self, afterstate: Array, chance_code: Array) -> tuple[Array, Array]:
@@ -136,8 +154,10 @@ class Dynamics(nn.Module):
         )(chance_code)
         x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(fused)
         next_state = nn.Dense(self.hidden_size, dtype=jnp.float32, name="next_state")(x)
-        reward = nn.Dense(1, dtype=jnp.float32, name="reward")(x)
-        return next_state, jnp.squeeze(reward, axis=-1)
+        reward = nn.Dense(self.reward_bins, dtype=jnp.float32, name="reward")(x)
+        if self.reward_bins == 1:
+            return next_state, jnp.squeeze(reward, axis=-1)
+        return next_state, reward
 
 
 class Encoder(nn.Module):

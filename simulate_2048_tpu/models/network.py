@@ -43,7 +43,15 @@ class NetworkParams(NamedTuple):
 
 class NetworkApplyFns(NamedTuple):
     """Apply functions, each ``(params, *inputs) -> outputs``
-    (``stochastic_mctx.py:28-40``)."""
+    (``stochastic_mctx.py:28-40``).
+
+    The first six always speak the scalar h-space value contract — with
+    categorical heads (``value_bins > 1``) they wrap the raw bin logits with
+    the support expectation (``ops.distributional.expectation``), so search,
+    eval, and priority consumers are head-agnostic. The ``*_logits`` trio is
+    non-None only for categorical heads and returns the raw bin logits for
+    the cross-entropy loss path (``training.losses``).
+    """
 
     representation: Callable  # (params, obs) -> hidden
     prediction: Callable  # (params, hidden) -> (policy_logits, value)
@@ -51,6 +59,9 @@ class NetworkApplyFns(NamedTuple):
     afterstate_prediction: Callable  # (params, afterstate) -> (q, chance_logits)
     dynamics: Callable  # (params, afterstate, chance_onehot) -> (hidden, reward)
     encoder: Callable  # (params, obs, deterministic=True) -> chance code
+    prediction_logits: Callable | None = None  # (params, hidden) -> (policy, value_bins)
+    afterstate_prediction_logits: Callable | None = None  # -> (q_bins, chance_logits)
+    dynamics_logits: Callable | None = None  # -> (hidden, reward_bins)
 
 
 class MuZeroNetwork(NamedTuple):
@@ -64,6 +75,10 @@ class MuZeroNetwork(NamedTuple):
     codebook_size: int
     hidden_size: int
     num_blocks: int
+    value_bins: int = 1
+    reward_bins: int = 1
+    value_support_max: float = 0.0
+    reward_support_max: float = 0.0
 
 
 def create_network(
@@ -75,8 +90,19 @@ def create_network(
     num_blocks: int = DEFAULT_BLOCKS,
     compute_dtype: Any = jnp.float32,
     observation_onehot: bool = False,
+    value_bins: int = 1,
+    reward_bins: int = 1,
+    value_support_max: float = 320.0,
+    reward_support_max: float = 100.0,
 ) -> MuZeroNetwork:
-    """Initialize all six networks with dummy inputs (``network.py:53-141``)."""
+    """Initialize all six networks with dummy inputs (``network.py:53-141``).
+
+    ``value_bins``/``reward_bins`` > 1 switch the value, Q and reward heads
+    to categorical over an h-space support of ``[0, *_support_max]`` (see
+    ``ops.distributional``); the scalar-facing apply fns then return the
+    support expectation and the raw logits are exposed via the ``*_logits``
+    apply fns.
+    """
     k = jax.random.split(key, 6)
     dummy_obs = jnp.zeros((1, observation_dim))
     dummy_hidden = jnp.zeros((1, hidden_size))
@@ -84,10 +110,10 @@ def create_network(
     dummy_chance = jnp.zeros((1, codebook_size))
 
     rep = Representation(hidden_size, num_blocks, compute_dtype, observation_onehot)
-    pred = Prediction(action_size, hidden_size, num_blocks, compute_dtype)
+    pred = Prediction(action_size, hidden_size, num_blocks, compute_dtype, value_bins)
     adyn = AfterstateDynamics(hidden_size, action_size, num_blocks, compute_dtype)
-    apred = AfterstatePrediction(codebook_size, hidden_size, num_blocks, compute_dtype)
-    dyn = Dynamics(hidden_size, codebook_size, num_blocks, compute_dtype)
+    apred = AfterstatePrediction(codebook_size, hidden_size, num_blocks, compute_dtype, value_bins)
+    dyn = Dynamics(hidden_size, codebook_size, num_blocks, compute_dtype, reward_bins)
     enc = Encoder(codebook_size, hidden_size, num_blocks, compute_dtype, observation_onehot)
 
     params = NetworkParams(
@@ -98,14 +124,52 @@ def create_network(
         dynamics=dyn.init(k[4], dummy_hidden, dummy_chance),
         encoder=enc.init(k[5], dummy_obs),
     )
-    apply_fns = NetworkApplyFns(
-        representation=rep.apply,
-        prediction=pred.apply,
-        afterstate_dynamics=adyn.apply,
-        afterstate_prediction=apred.apply,
-        dynamics=dyn.apply,
-        encoder=enc.apply,
-    )
+    if value_bins == 1 and reward_bins == 1:
+        apply_fns = NetworkApplyFns(
+            representation=rep.apply,
+            prediction=pred.apply,
+            afterstate_dynamics=adyn.apply,
+            afterstate_prediction=apred.apply,
+            dynamics=dyn.apply,
+            encoder=enc.apply,
+        )
+    else:
+        from simulate_2048_tpu.ops.distributional import expectation
+
+        if value_bins > 1:
+
+            def prediction_scalar(p, hidden):
+                logits, value_logits = pred.apply(p, hidden)
+                return logits, expectation(value_logits, value_support_max)
+
+            def afterstate_prediction_scalar(p, afterstate):
+                q_logits, chance_logits = apred.apply(p, afterstate)
+                return expectation(q_logits, value_support_max), chance_logits
+
+        else:
+            prediction_scalar = pred.apply
+            afterstate_prediction_scalar = apred.apply
+
+        if reward_bins > 1:
+
+            def dynamics_scalar(p, afterstate, chance):
+                hidden, reward_logits = dyn.apply(p, afterstate, chance)
+                return hidden, expectation(reward_logits, reward_support_max)
+
+        else:
+            dynamics_scalar = dyn.apply
+
+        apply_fns = NetworkApplyFns(
+            representation=rep.apply,
+            prediction=prediction_scalar,
+            afterstate_dynamics=adyn.apply,
+            afterstate_prediction=afterstate_prediction_scalar,
+            dynamics=dynamics_scalar,
+            encoder=enc.apply,
+            prediction_logits=pred.apply if value_bins > 1 else None,
+            afterstate_prediction_logits=apred.apply if value_bins > 1 else None,
+            dynamics_logits=dyn.apply if reward_bins > 1 else None,
+        )
     return MuZeroNetwork(
         params=params,
         apply_fns=apply_fns,
@@ -114,6 +178,10 @@ def create_network(
         codebook_size=codebook_size,
         hidden_size=hidden_size,
         num_blocks=num_blocks,
+        value_bins=value_bins,
+        reward_bins=reward_bins,
+        value_support_max=value_support_max,
+        reward_support_max=reward_support_max,
     )
 
 

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from simulate_2048_tpu.models import create_network
+from simulate_2048_tpu.training.learner import network_from_config
 from simulate_2048_tpu.training import replay as replay_lib
 from simulate_2048_tpu.training.config import TrainConfig
 from simulate_2048_tpu.training.self_play import generate_games
@@ -290,13 +290,10 @@ class ActorClient:
         self.connect_timeout_s = connect_timeout_s
         self.reconnects = 0
         self._key = jax.random.PRNGKey(seed)
-        # Apply fns only; parameters always come from the learner.
-        self._network = create_network(
-            jax.random.PRNGKey(0),
-            hidden_size=config.hidden_size,
-            num_blocks=config.num_residual_blocks,
-            codebook_size=config.codebook_size,
-        )
+        # Apply fns only; parameters always come from the learner. Built via
+        # the shared config→architecture helper so apply fns agree with the
+        # learner's param shapes for EVERY knob (dtype, onehot, bins, ...).
+        self._network = network_from_config(jax.random.PRNGKey(0), config)
         self._sock = connect_with_retry(learner_address, connect_timeout_s)
         self.generations = 0
         self.learner_step = -1

@@ -203,6 +203,22 @@ class TrainConfig:
     # Value scaling h(x) = sign(x)(√(|x|+1) − 1) + εx.
     value_epsilon: float = 0.001
 
+    # Categorical (two-hot) value/reward heads over an h-space support
+    # (``ops.distributional``; MuZero App. F). 1 = scalar MSE heads, the
+    # reference's only mode (``losses.py:134-177``). >1 switches the value,
+    # Q and reward heads to ``*_bins`` logits trained with cross-entropy
+    # toward a two-hot target — far better conditioned than MSE for 2048's
+    # heavy-tailed returns (scalar value loss at init ≈ 750). The supports
+    # are h-space upper bounds: 320 ≈ raw return 64k, 100 ≈ raw one-move
+    # reward 8k; targets beyond clip to the last atom. The scalar-facing
+    # search/eval API is unchanged (expectation inside the apply fns), but
+    # the Pallas search kernel packs scalar head columns only — categorical
+    # heads force search_backend="xla".
+    value_bins: int = 1
+    reward_bins: int = 1
+    value_support_max: float = 320.0
+    reward_support_max: float = 100.0
+
     # EfficientZero self-supervised consistency (Ye et al. 2021): weight of
     # the cosine distance between each unrolled hidden state and the
     # stop-gradient re-encoding of the true next observation. 0 = off
@@ -287,6 +303,18 @@ class TrainConfig:
             raise ValueError("search_backend must be 'xla', 'pallas' or 'auto'")
         if self.search_weight_dtype not in ("float32", "bfloat16"):
             raise ValueError("search_weight_dtype must be 'float32' or 'bfloat16'")
+        if self.value_bins < 1 or self.reward_bins < 1:
+            raise ValueError("value_bins/reward_bins must be >= 1")
+        if self.value_bins == 2 or self.reward_bins == 2:
+            raise ValueError(
+                "2-bin categorical heads cannot two-hot encode (one interval); "
+                "use 1 (scalar) or >= 3"
+            )
+        if (self.value_bins > 1 or self.reward_bins > 1) and self.search_backend == "pallas":
+            raise ValueError(
+                "the Pallas search kernel packs scalar head columns only; "
+                "categorical heads require search_backend='xla' or 'auto'"
+            )
 
     def get_temperature(self, training_step: int) -> float:
         """Scheduled action-selection temperature (``config.py:96-114``)."""

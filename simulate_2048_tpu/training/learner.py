@@ -65,9 +65,14 @@ def create_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(*components)
 
 
-def create_train_state(key: Array, config: TrainConfig) -> tuple[TrainState, MuZeroNetwork]:
-    """Initialize networks + optimizer (``learner.py:92-131``)."""
-    network = create_network(
+def network_from_config(key: Array, config: TrainConfig) -> MuZeroNetwork:
+    """Build the network bundle a ``TrainConfig`` describes.
+
+    The single source of truth for config→architecture plumbing: every
+    process that must agree on apply fns / parameter shapes (trainer, eval,
+    remote actors) builds through here.
+    """
+    return create_network(
         key,
         observation_dim=config.observation_dim,
         action_size=config.action_size,
@@ -76,7 +81,16 @@ def create_train_state(key: Array, config: TrainConfig) -> tuple[TrainState, MuZ
         num_blocks=config.num_residual_blocks,
         compute_dtype=jnp.bfloat16 if config.use_bfloat16 else jnp.float32,
         observation_onehot=config.observation_onehot,
+        value_bins=config.value_bins,
+        reward_bins=config.reward_bins,
+        value_support_max=config.value_support_max,
+        reward_support_max=config.reward_support_max,
     )
+
+
+def create_train_state(key: Array, config: TrainConfig) -> tuple[TrainState, MuZeroNetwork]:
+    """Initialize networks + optimizer (``learner.py:92-131``)."""
+    network = network_from_config(key, config)
     optimizer = create_optimizer(config)
     state = TrainState(
         params=network.params,

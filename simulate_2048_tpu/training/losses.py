@@ -34,6 +34,7 @@ from jax import lax
 
 from simulate_2048_tpu.models.network import NetworkApplyFns, NetworkParams
 from simulate_2048_tpu.ops import board as board_ops
+from simulate_2048_tpu.ops import distributional
 from simulate_2048_tpu.training.config import TrainConfig
 
 Array = jax.Array
@@ -187,6 +188,45 @@ def compute_loss(
     """
     use_encoder = config.chance_target_mode == "encoder"
     use_oracle = config.chance_target_mode in ("oracle", "oracle_dist")
+
+    # Head-mode dispatch: categorical heads (config.value_bins/reward_bins
+    # > 1, see ops.distributional) train on CE toward a two-hot h-space
+    # target via the raw-logit apply fns; scalar heads keep the reference's
+    # MSE (``losses.py:134-177``). Chosen at trace time — config is static.
+    if config.value_bins > 1:
+        pred_fn = apply_fns.prediction_logits
+        apred_fn = apply_fns.afterstate_prediction_logits
+
+        def v_loss(pred: Array, target_raw: Array) -> Array:
+            return distributional.categorical_loss(
+                pred,
+                scale_value(target_raw, config.value_epsilon),
+                config.value_support_max,
+            )
+
+    else:
+        pred_fn = apply_fns.prediction
+        apred_fn = apply_fns.afterstate_prediction
+
+        def v_loss(pred: Array, target_raw: Array) -> Array:
+            return value_loss(pred, target_raw, config.value_epsilon)
+
+    if config.reward_bins > 1:
+        dyn_fn = apply_fns.dynamics_logits
+
+        def r_loss(pred: Array, target_raw: Array) -> Array:
+            return distributional.categorical_loss(
+                pred,
+                scale_value(target_raw, config.value_epsilon),
+                config.reward_support_max,
+            )
+
+    else:
+        dyn_fn = apply_fns.dynamics
+
+        def r_loss(pred: Array, target_raw: Array) -> Array:
+            return reward_loss(pred, target_raw, config.value_epsilon)
+
     if key is None:
         sample_keys = None
     else:
@@ -196,9 +236,9 @@ def compute_loss(
         k_steps = config.num_unroll_steps
 
         hidden = apply_fns.representation(params.representation, sample.observations[0])
-        logits0, value0 = apply_fns.prediction(params.prediction, hidden)
+        logits0, value0 = pred_fn(params.prediction, hidden)
         p0 = policy_loss(logits0, sample.target_policies[0])
-        v0 = value_loss(value0, sample.target_values[0], config.value_epsilon)
+        v0 = v_loss(value0, sample.target_values[0])
 
         if use_encoder:
             # Chance codes of obs_1..obs_K (the observed outcomes of steps 0..K-1).
@@ -252,9 +292,7 @@ def compute_loss(
             afterstate = apply_fns.afterstate_dynamics(
                 params.afterstate_dynamics, state, action_onehot
             )
-            q_pred, chance_logits = apply_fns.afterstate_prediction(
-                params.afterstate_prediction, afterstate
-            )
+            q_pred, chance_logits = apred_fn(params.afterstate_prediction, afterstate)
 
             # Afterstate value loss (paper Eq. 5 trains Q^k toward z_{t+k};
             # the reference never does — SURVEY §2.4 #20 lists no Q term, so
@@ -263,9 +301,7 @@ def compute_loss(
             # ``search/mcts.py:350,368``). Q(as_t) ≈ E_c[r_t + γV(s_{t+1})]
             # = the same z_t target as the position's value. Config-gated
             # (afterstate_value_loss_weight, 0 = reference behavior).
-            step_q = value_loss(
-                q_pred, sample.target_values[step], config.value_epsilon
-            )
+            step_q = v_loss(q_pred, sample.target_values[step])
 
             step_c = chance_loss(chance_logits, chance_target[step]) * chance_mask[step]
             if use_encoder or use_oracle:
@@ -275,12 +311,12 @@ def compute_loss(
                 # (``losses.py:304``).
                 chance_input = jax.nn.one_hot(jnp.argmax(chance_logits), config.codebook_size)
 
-            next_state, pred_reward = apply_fns.dynamics(params.dynamics, afterstate, chance_input)
-            next_logits, next_value = apply_fns.prediction(params.prediction, next_state)
+            next_state, pred_reward = dyn_fn(params.dynamics, afterstate, chance_input)
+            next_logits, next_value = pred_fn(params.prediction, next_state)
 
             step_p = policy_loss(next_logits, sample.target_policies[step + 1])
-            step_v = value_loss(next_value, sample.target_values[step + 1], config.value_epsilon)
-            step_r = reward_loss(pred_reward, sample.target_rewards[step], config.value_epsilon)
+            step_v = v_loss(next_value, sample.target_values[step + 1])
+            step_r = r_loss(pred_reward, sample.target_rewards[step])
 
             if h_true is not None:
                 # cosine distance to the re-encoded true next state; masked

@@ -135,7 +135,10 @@ def play_segment(
     # per parameter version), outside the scan.
     packed = None
     use_pallas = False
-    if config.search_backend != "xla":
+    # Categorical heads (value_bins/reward_bins > 1) change the head weight
+    # shapes the kernel packs — config validation rejects backend='pallas',
+    # and 'auto' falls through to XLA here.
+    if config.search_backend != "xla" and config.value_bins == 1 and config.reward_bins == 1:
         from simulate_2048_tpu.ops import pallas_search
 
         wdtype = (
@@ -388,7 +391,9 @@ def _evaluate_rollout(
     # eval batches on TPU; the 32-game default stays on the XLA path).
     packed = None
     use_pallas = False
-    if config.search_backend != "xla":
+    # Same categorical-head gate as play_segment: the kernel packs scalar
+    # head columns only.
+    if config.search_backend != "xla" and config.value_bins == 1 and config.reward_bins == 1:
         from simulate_2048_tpu.ops import pallas_search
 
         wdtype = (
