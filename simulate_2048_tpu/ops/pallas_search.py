@@ -96,6 +96,7 @@ def pack_search_params(
     num_blocks: int,
     codebook_size: int,
     weight_dtype=jnp.float32,
+    stream_chunk: int | None = None,
 ):
     """Stack the f/φ/ψ/g parameters into dense tensors for the kernel.
 
@@ -107,6 +108,13 @@ def pack_search_params(
     size, accumulation-critical). Packing order must match ``_make_kernel``'s
     offsets; both derive from ``num_blocks`` alone so they cannot drift
     independently.
+
+    With ``stream_chunk`` set (the HBM-streaming kernel for configs whose
+    weights don't fit VMEM, e.g. the paper-full H=256/NB=10), ``hh`` is
+    instead permuted into the kernel's CALL order — φ fuse, φ tower, φ head,
+    ψ tower, g fuse, g tower, g head, f tower, i.e. a rotation by the f
+    tower's length — and zero-padded to a multiple of ``stream_chunk`` so
+    the kernel can double-buffer contiguous chunk DMAs per expansion.
     """
     f = _unwrap(params.prediction)
     phi = _unwrap(params.afterstate_dynamics)
@@ -164,6 +172,11 @@ def pack_search_params(
     scal_b = scal_b.at[0, 1].set(psi["q_value"]["bias"][0])
     scal_b = scal_b.at[0, 2].set(g["reward"]["bias"][0])
 
+    if stream_chunk is not None:
+        tower_hh = 1 + 2 * num_blocks
+        hh = hh[tower_hh:] + hh[:tower_hh]  # rotate into call order
+        pad = -len(hh) % stream_chunk
+        hh = hh + [jnp.zeros_like(hh[0])] * pad
     hh = jnp.stack([x.astype(weight_dtype) for x in hh])
     vecs = jnp.stack([x.astype(jnp.float32) for x in vecs]).T  # (H, n_vec)
     return (
@@ -182,7 +195,13 @@ def pack_search_params(
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
+def _make_kernel(
+    cfg: SearchConfig,
+    hidden: int,
+    num_blocks: int,
+    g: int,
+    stream_chunk: int | None = None,
+):
     s = cfg.num_simulations
     n = s + 1
     k = max(cfg.num_actions, cfg.codebook_size)
@@ -217,11 +236,16 @@ def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
         sq = jnp.sqrt(1.0 + 4.0 * eps * (y + 1.0 + eps)) - 1.0
         return sign * (jnp.square(sq / (2.0 * eps)) - 1.0)
 
+    n_hh_real = 4 * tower_hh + 4
+    nchunks = (
+        -(-n_hh_real // stream_chunk) if stream_chunk is not None else 0
+    )
+
     def kernel(
         root_h_ref,  # (H, G) root hidden states
         root_p_ref,  # (K, G) root priors (noised + masked outside)
         root_v_ref,  # (1, G) root values (raw space)
-        hh_ref,  # (n_hh, H, H)
+        hh_ref,  # (n_hh, H, H) — VMEM resident, or HBM when streaming
         vec_ref,  # (H, n_vec)
         win_ref,  # (2, K, H)
         wide_ref,  # (2, H, K)
@@ -244,6 +268,7 @@ def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
         path_nodes,  # scratch (P, G) i32
         path_edges,  # scratch (P, G) i32
         vbuf,  # scratch (P + 1, G)
+        *stream_refs,  # streaming only: wslot (2, C, H, H), wsem DMA((2,))
     ):
         iota_nkg = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
         iota_ng = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
@@ -252,15 +277,57 @@ def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
         def vec(i):  # (H, 1) bias / LayerNorm column
             return vec_ref[:, pl.ds(i, 1)]
 
-        def dense(x, ihh, iv):
-            # x (I, G) → (O, G): contraction on the weight's input dim.
-            # Activations are cast to the stored weight dtype so a bf16 pack
-            # runs one native MXU pass; accumulation stays f32 throughout.
-            w = hh_ref[ihh]
-            y = jax.lax.dot_general(
-                w, x.astype(w.dtype), dn_in, preferred_element_type=jnp.float32
-            )
-            return y + vec(iv)
+        if stream_chunk is None:
+
+            def dense(x, ihh, iv):
+                # x (I, G) → (O, G): contraction on the weight's input dim.
+                # Activations are cast to the stored weight dtype so a bf16
+                # pack runs one native MXU pass; accumulation stays f32.
+                w = hh_ref[ihh]
+                y = jax.lax.dot_general(
+                    w, x.astype(w.dtype), dn_in, preferred_element_type=jnp.float32
+                )
+                return y + vec(iv)
+
+            def begin_weight_stream():
+                pass
+
+        else:
+            # HBM → VMEM double-buffered weight streaming: the pack is in
+            # CALL order (a rotation by the f tower's length), so each
+            # expansion consumes ``hh`` front-to-back in contiguous
+            # ``stream_chunk``-sized DMAs. Chunk c+1 is launched before
+            # waiting on chunk c; the write to slot (c+1) % 2 is safe because
+            # that slot's last reader (chunk c−1's matmuls) ran synchronously
+            # before this point in program order.
+            wslot, wsem = stream_refs
+            _pos = [0]  # trace-time call-order cursor (resets per sim_body)
+
+            def _chunk_copy(c):
+                return pltpu.make_async_copy(
+                    hh_ref.at[pl.ds(c * stream_chunk, stream_chunk)],
+                    wslot.at[c % 2],
+                    wsem.at[c % 2],
+                )
+
+            def begin_weight_stream():
+                _pos[0] = 0
+                _chunk_copy(0).start()
+
+            def dense(x, ihh, iv):
+                pos = (ihh - tower_hh) % n_hh_real  # offset → call order
+                assert pos == _pos[0], (pos, _pos[0])
+                _pos[0] += 1
+                c, off = divmod(pos, stream_chunk)
+                if off == 0:
+                    if c + 1 < nchunks:
+                        _chunk_copy(c + 1).start()
+                    _chunk_copy(c).wait()
+                w = wslot[c % 2, off]
+                y = jax.lax.dot_general(
+                    w, x.astype(w.dtype), dn_in, preferred_element_type=jnp.float32
+                )
+                return y + vec(iv)
 
         def layer_norm(x, iv):
             mean = jnp.mean(x, axis=0, keepdims=True)
@@ -342,6 +409,9 @@ def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
 
         def sim_body(si, _):
             new_index = si + 1
+            # Launch the first weight chunk now (streaming mode): the whole
+            # traversal below overlaps its DMA.
+            begin_weight_stream()
 
             # ---- traversal (lockstep over lanes, frozen once off-tree)
             root = jnp.zeros((1, g), jnp.int32)
@@ -523,7 +593,7 @@ def _make_kernel(cfg: SearchConfig, hidden: int, num_blocks: int, g: int):
     return kernel, n, k, p
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 8))
 def _run_packed(
     root_hidden_t: Array,  # (H, B)
     root_probs_t: Array,  # (K, B)
@@ -533,8 +603,9 @@ def _run_packed(
     num_blocks: int,
     interpret: bool,
     packed=None,
+    stream_chunk: int | None = None,
 ):
-    kernel, n, k, p = _make_kernel(cfg, hidden, num_blocks, BLOCK_G)
+    kernel, n, k, p = _make_kernel(cfg, hidden, num_blocks, BLOCK_G, stream_chunk)
     h = hidden
     b = root_hidden_t.shape[1]
     assert b % BLOCK_G == 0, f"batch {b} must be a multiple of {BLOCK_G}"
@@ -547,10 +618,22 @@ def _run_packed(
     lanes = lambda rows: pl.BlockSpec((rows, g), lambda i: (0, i), memory_space=pltpu.VMEM)
     whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    # Streaming mode: hh stays in HBM (ANY) and the kernel double-buffers
+    # chunk DMAs through a 2-slot VMEM scratch.
+    hh_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream_chunk else whole()
+    stream_scratch = (
+        [
+            pltpu.VMEM((2, stream_chunk, h, h), packed[0].dtype),  # wslot
+            pltpu.SemaphoreType.DMA((2,)),  # wsem
+        ]
+        if stream_chunk
+        else []
+    )
+
     visits, qvals, rootv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[lanes(h), lanes(k), lanes(1)] + [whole() for _ in range(7)],
+        in_specs=[lanes(h), lanes(k), lanes(1), hh_spec] + [whole() for _ in range(6)],
         out_specs=[lanes(cfg.num_actions), lanes(cfg.num_actions), lanes(1)],
         out_shape=[
             jax.ShapeDtypeStruct((cfg.num_actions, b), jnp.float32),
@@ -571,7 +654,8 @@ def _run_packed(
             pltpu.VMEM((p, g), jnp.int32),  # path_nodes
             pltpu.VMEM((p, g), jnp.int32),  # path_edges
             pltpu.VMEM((p + 1, g), jnp.float32),  # vbuf
-        ],
+        ]
+        + stream_scratch,
         interpret=interpret,
     )(root_hidden_t, root_probs_t, root_value, *packed)
     return visits, qvals, rootv
@@ -588,6 +672,7 @@ def run_mcts_pallas(
     packed=None,
     interpret: bool = False,
     weight_dtype=jnp.float32,
+    stream_chunk: int | None = None,
 ) -> PolicyOutput:
     """Batched stochastic MuZero search, whole-search Pallas kernel.
 
@@ -597,7 +682,10 @@ def run_mcts_pallas(
     kernel runs all simulations with the tree resident in VMEM.
 
     ``packed`` (from :func:`pack_search_params`) can be precomputed once per
-    parameter version (e.g. per self-play generation).
+    parameter version (e.g. per self-play generation). ``stream_chunk``
+    selects the HBM-streaming weight path for configs whose weights exceed
+    VMEM (see :func:`pallas_search_plan`); a pre-packed ``packed`` must then
+    have been built with the same ``stream_chunk``.
     """
     if config.chance_selection != "argmax" or config.pw_c is not None:
         raise NotImplementedError("pallas search covers the argmax/no-widening config")
@@ -632,7 +720,7 @@ def run_mcts_pallas(
     probs_padded = jnp.concatenate([root_probs, pad], axis=-1)
 
     if packed is None:
-        packed = pack_search_params(params, num_blocks, k, weight_dtype)
+        packed = pack_search_params(params, num_blocks, k, weight_dtype, stream_chunk)
 
     visits, qvals, rootv = _run_packed(
         hidden.T.astype(jnp.float32),
@@ -643,6 +731,7 @@ def run_mcts_pallas(
         num_blocks,
         interpret,
         packed=packed,
+        stream_chunk=stream_chunk,
     )
     visits = visits.T  # (B, A)
     total = jnp.sum(visits, axis=-1, keepdims=True)
@@ -664,13 +753,19 @@ VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
 def search_vmem_bytes(
-    config: SearchConfig, hidden: int, num_blocks: int, weight_dtype=jnp.float32
+    config: SearchConfig,
+    hidden: int,
+    num_blocks: int,
+    weight_dtype=jnp.float32,
+    stream_chunk: int | None = None,
 ) -> int:
     """Estimated VMEM footprint of one kernel instance (scratch + operands).
 
     Mirrors ``_run_packed``'s scratch shapes and ``pack_search_params``'s
-    tensor shapes exactly; used by :func:`pallas_search_supported` to decide
-    the Pallas-vs-XLA dispatch per network/search configuration.
+    tensor shapes exactly; used by :func:`pallas_search_plan` to decide the
+    Pallas-vs-XLA dispatch per network/search configuration. With
+    ``stream_chunk``, the hh weights live in HBM and only the 2-slot chunk
+    buffer counts against VMEM.
     """
     s = config.num_simulations
     n = s + 1
@@ -695,8 +790,13 @@ def search_vmem_bytes(
         + 2 * p * g * 4  # path_nodes, path_edges
         + (p + 1) * g * 4  # vbuf
     )
+    hh_vmem = (
+        2 * stream_chunk * h * h * wsize  # double-buffered chunk slots
+        if stream_chunk is not None
+        else n_hh * h * h * wsize
+    )
     weights = (
-        n_hh * h * h * wsize
+        hh_vmem
         + h * n_vec * 4  # vecs
         + 2 * k * h * wsize * 2  # win + wide
         + k * 2 * 4  # wide_b
@@ -706,6 +806,42 @@ def search_vmem_bytes(
     return tables + weights + blocks
 
 
+def _in_scope(config: SearchConfig, batch_size: int) -> bool:
+    return (
+        config.chance_selection == "argmax"
+        and config.pw_c is None
+        and batch_size % BLOCK_G == 0
+    )
+
+
+def pallas_search_plan(
+    config: SearchConfig,
+    hidden: int,
+    num_blocks: int,
+    batch_size: int,
+    weight_dtype=jnp.float32,
+) -> int | None:
+    """How to run this (network, search, batch) on the Pallas kernel.
+
+    Returns ``None`` (out of scope / no VMEM fit — use the XLA search),
+    ``0`` (weights VMEM-resident, the fast path), or a chunk size > 0 (the
+    HBM-streaming path for configs whose weights exceed VMEM, e.g. the
+    paper-full H=256/NB=10/S=100 preset — larger chunks amortize DMA issue
+    latency better, so pick the largest that fits).
+    """
+    if not _in_scope(config, batch_size):
+        return None
+    if search_vmem_bytes(config, hidden, num_blocks, weight_dtype) <= VMEM_BUDGET_BYTES:
+        return 0
+    for chunk in (8, 4, 2, 1):
+        if (
+            search_vmem_bytes(config, hidden, num_blocks, weight_dtype, chunk)
+            <= VMEM_BUDGET_BYTES
+        ):
+            return chunk
+    return None
+
+
 def pallas_search_supported(
     config: SearchConfig,
     hidden: int,
@@ -713,18 +849,10 @@ def pallas_search_supported(
     batch_size: int,
     weight_dtype=jnp.float32,
 ) -> bool:
-    """True iff this (network, search, batch) combination can run the kernel.
-
-    Requirements: the kernel's algorithmic scope (argmax chance selection,
-    no progressive widening), a lane-aligned batch, and a VMEM fit.
-    """
-    return (
-        config.chance_selection == "argmax"
-        and config.pw_c is None
-        and batch_size % BLOCK_G == 0
-        and search_vmem_bytes(config, hidden, num_blocks, weight_dtype)
-        <= VMEM_BUDGET_BYTES
-    )
+    """True iff this (network, search, batch) combination can run the kernel
+    in SOME mode (VMEM-resident or HBM-streaming weights) — see
+    :func:`pallas_search_plan` for which."""
+    return pallas_search_plan(config, hidden, num_blocks, batch_size, weight_dtype) is not None
 
 
 def default_interpret() -> bool:

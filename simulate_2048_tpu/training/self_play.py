@@ -144,27 +144,29 @@ def play_segment(
         wdtype = (
             jnp.bfloat16 if config.search_weight_dtype == "bfloat16" else jnp.float32
         )
-        supported = pallas_search.pallas_search_supported(
+        plan = pallas_search.pallas_search_plan(
             cfg, config.hidden_size, config.num_residual_blocks, num_games, wdtype
         )
-        if config.search_backend == "pallas" and not supported:
+        if config.search_backend == "pallas" and plan is None:
             raise ValueError(
                 "search_backend='pallas' but the config is outside the kernel's "
                 "scope (needs argmax chance selection, pw_c=None, batch % "
                 f"{pallas_search.BLOCK_G} == 0, and a VMEM fit — estimated "
-                f"{pallas_search.search_vmem_bytes(cfg, config.hidden_size, config.num_residual_blocks, wdtype) >> 20} MB)"
+                f"{pallas_search.search_vmem_bytes(cfg, config.hidden_size, config.num_residual_blocks, wdtype) >> 20} MB resident)"
             )
         # "auto" engages only on TPU: interpret mode off-TPU is far slower
         # than the XLA search and exists for differential tests only.
-        use_pallas = supported and (
+        use_pallas = plan is not None and (
             config.search_backend == "pallas" or not pallas_search.default_interpret()
         )
         if use_pallas:
+            stream_chunk = plan if plan else None
             packed = pallas_search.pack_search_params(
                 params,
                 config.num_residual_blocks,
                 max(config.action_size, config.codebook_size),
                 wdtype,
+                stream_chunk,
             )
 
     state = env_state
@@ -193,6 +195,7 @@ def play_segment(
                 num_blocks=config.num_residual_blocks,
                 packed=packed,
                 interpret=pallas_search.default_interpret(),
+                stream_chunk=stream_chunk,
             )
         else:
             out = jax.vmap(
@@ -399,17 +402,20 @@ def _evaluate_rollout(
         wdtype = (
             jnp.bfloat16 if config.search_weight_dtype == "bfloat16" else jnp.float32
         )
-        use_pallas = pallas_search.pallas_search_supported(
+        plan = pallas_search.pallas_search_plan(
             cfg, config.hidden_size, config.num_residual_blocks, num_games, wdtype
-        ) and (
+        )
+        use_pallas = plan is not None and (
             config.search_backend == "pallas" or not pallas_search.default_interpret()
         )
         if use_pallas:
+            stream_chunk = plan if plan else None
             packed = pallas_search.pack_search_params(
                 params,
                 config.num_residual_blocks,
                 max(config.action_size, config.codebook_size),
                 wdtype,
+                stream_chunk,
             )
 
     def cond(carry):
@@ -437,6 +443,7 @@ def _evaluate_rollout(
                 num_blocks=config.num_residual_blocks,
                 packed=packed,
                 interpret=pallas_search.default_interpret(),
+                stream_chunk=stream_chunk,
             )
         else:
             out = jax.vmap(

@@ -153,23 +153,69 @@ class TestBf16Weights:
 
 
 class TestVmemEnvelope:
-    def test_small_config_fits_full_rejected(self):
+    def test_plan_per_config(self):
         from simulate_2048_tpu.ops.pallas_search import (
-            pallas_search_supported, search_vmem_bytes,
+            pallas_search_plan, pallas_search_supported, search_vmem_bytes,
         )
 
         small = SearchConfig(num_simulations=50, max_depth=32)
         full = SearchConfig(num_simulations=100, max_depth=32)
+        # small config: weights fit VMEM → resident plan (0)
+        assert pallas_search_plan(small, 128, 5, 256) == 0
         assert pallas_search_supported(small, 128, 5, 256)
         # bf16 widens the envelope strictly
         assert search_vmem_bytes(small, 128, 5, jnp.bfloat16) < search_vmem_bytes(
             small, 128, 5, jnp.float32
         )
-        # the paper-full net exceeds VMEM in any dtype — XLA fallback
-        assert not pallas_search_supported(full, 256, 10, 256)
-        assert not pallas_search_supported(full, 256, 10, 256, jnp.bfloat16)
+        # the paper-full net exceeds VMEM resident in any dtype; in bf16 the
+        # tree tables alone fit, so the plan is HBM weight streaming
+        assert pallas_search_plan(full, 256, 10, 256, jnp.bfloat16) not in (None, 0)
+        # f32 full: even the tables exceed VMEM — XLA fallback
+        assert pallas_search_plan(full, 256, 10, 256, jnp.float32) is None
+        # streaming VMEM estimate is independent of resident weight size
+        assert search_vmem_bytes(full, 256, 10, jnp.bfloat16, 2) < search_vmem_bytes(
+            full, 256, 10, jnp.bfloat16
+        )
         # non-lane-aligned batches are rejected
-        assert not pallas_search_supported(small, 128, 5, 96)
+        assert pallas_search_plan(small, 128, 5, 96) is None
+
+
+class TestWeightStreaming:
+    """HBM-streaming weight path (``stream_chunk``): must reproduce the
+    resident kernel bit-for-bit — only the weight residency changes, not the
+    arithmetic."""
+
+    def test_stream_matches_resident(self, net):
+        obs, keys = make_inputs(BLOCK_G, seed=5)
+        res = run_mcts_pallas(
+            net.params, net.apply_fns, obs, keys, CFG,
+            num_blocks=BLOCKS, interpret=True,
+        )
+        for chunk in (1, 2, 8):  # 8 > n_hh/chunks exercises padding
+            stream = run_mcts_pallas(
+                net.params, net.apply_fns, obs, keys, CFG,
+                num_blocks=BLOCKS, interpret=True, stream_chunk=chunk,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(stream.visit_counts), np.asarray(res.visit_counts)
+            )
+            np.testing.assert_allclose(
+                np.asarray(stream.search_value),
+                np.asarray(res.search_value),
+                rtol=1e-5,
+                atol=1e-5,
+            )
+
+    def test_stream_bf16_valid(self, net):
+        obs, keys = make_inputs(BLOCK_G, seed=6)
+        out = run_mcts_pallas(
+            net.params, net.apply_fns, obs, keys, CFG,
+            num_blocks=BLOCKS, interpret=True,
+            weight_dtype=jnp.bfloat16, stream_chunk=2,
+        )
+        v = np.asarray(out.visit_counts)
+        assert v.sum(-1).min() == CFG.num_simulations
+        assert np.isfinite(np.asarray(out.search_value)).all()
 
 
 class TestSelfPlayWiring:
