@@ -88,19 +88,33 @@ def main() -> None:
     keys = jax.random.split(jax.random.PRNGKey(1), args.boards)
 
     if args.pallas:
-        from simulate_2048_tpu.ops.pallas_search import pack_search_params, run_mcts_pallas
+        from simulate_2048_tpu.ops.pallas_search import (
+            pack_search_params, pallas_search_plan, run_mcts_pallas,
+        )
 
         wdtype = jnp.bfloat16 if args.weight_dtype == "bfloat16" else jnp.float32
+        plan = pallas_search_plan(
+            search_cfg, cfg.hidden_size, cfg.num_residual_blocks, args.boards, wdtype
+        )
+        if plan is None:
+            print("pallas: config unsupported (no VMEM fit / out of scope)", file=sys.stderr)
+            sys.exit(2)
+        stream_chunk = plan if plan else None
+        print(f"pallas plan: {'resident' if not plan else f'stream chunk={plan}'}",
+              file=sys.stderr)
         # k must agree with run_mcts_pallas's kernel sizing, which uses
         # max(num_actions, codebook_size) (self_play.py packs the same way).
         k_width = max(cfg.action_size, cfg.codebook_size)
         packed = jax.jit(
-            lambda p: pack_search_params(p, cfg.num_residual_blocks, k_width, wdtype)
+            lambda p: pack_search_params(
+                p, cfg.num_residual_blocks, k_width, wdtype, stream_chunk
+            )
         )(network.params)
         run = jax.jit(
             lambda o, k: run_mcts_pallas(
                 network.params, network.apply_fns, o, k, search_cfg,
                 num_blocks=cfg.num_residual_blocks, packed=packed,
+                stream_chunk=stream_chunk,
             )
         )
     else:
