@@ -35,6 +35,25 @@ NUM_ACTIONS = 4
 ONEHOT_DEPTH = 16  # exponents 0..15 cover tiles up to 32768
 
 
+def _categorical_head(num_bins: int, name: str):
+    """Final Dense for a categorical value/reward head, initialized so the
+    initial EXPECTATION is ≈ 0 (all softmax mass on atom 0), matching a
+    scalar head's ~0 init. With default init the expectation starts at the
+    support MIDPOINT (h-space 160 ≈ raw 20k for the default value support):
+    measured on-TPU, search backups then start ~8x the true returns and the
+    ν_last bootstrap anchors targets there — eval pinned at ~850
+    (``runs/r3_categorical``, docs/project.md round 3)."""
+    return nn.Dense(
+        num_bins,
+        dtype=jnp.float32,
+        name=name,
+        kernel_init=nn.initializers.zeros,
+        bias_init=lambda key, shape, dtype=jnp.float32: jnp.full(
+            shape, -14.0, dtype
+        ).at[..., 0].set(0.0),
+    )
+
+
 def expand_observation(observation: Array, onehot: bool) -> Array:
     """Optionally lift the scalar exponent observation to per-cell one-hots.
 
@@ -89,10 +108,10 @@ class Prediction(nn.Module):
     def __call__(self, state: Array) -> tuple[Array, Array]:
         x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(state)
         policy_logits = nn.Dense(self.action_size, dtype=jnp.float32, name="policy_logits")(x)
-        value = nn.Dense(self.value_bins, dtype=jnp.float32, name="value")(x)
         if self.value_bins == 1:
+            value = nn.Dense(1, dtype=jnp.float32, name="value")(x)
             return policy_logits, jnp.squeeze(value, axis=-1)
-        return policy_logits, value
+        return policy_logits, _categorical_head(self.value_bins, "value")(x)
 
 
 class AfterstateDynamics(nn.Module):
@@ -131,11 +150,11 @@ class AfterstatePrediction(nn.Module):
     @nn.compact
     def __call__(self, afterstate: Array) -> tuple[Array, Array]:
         x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(afterstate)
-        q_value = nn.Dense(self.value_bins, dtype=jnp.float32, name="q_value")(x)
         chance_logits = nn.Dense(self.codebook_size, dtype=jnp.float32, name="chance_logits")(x)
         if self.value_bins == 1:
+            q_value = nn.Dense(1, dtype=jnp.float32, name="q_value")(x)
             return jnp.squeeze(q_value, axis=-1), chance_logits
-        return q_value, chance_logits
+        return _categorical_head(self.value_bins, "q_value")(x), chance_logits
 
 
 class Dynamics(nn.Module):
@@ -154,10 +173,10 @@ class Dynamics(nn.Module):
         )(chance_code)
         x = TowerWithHead(self.hidden_size, self.num_blocks, self.compute_dtype)(fused)
         next_state = nn.Dense(self.hidden_size, dtype=jnp.float32, name="next_state")(x)
-        reward = nn.Dense(self.reward_bins, dtype=jnp.float32, name="reward")(x)
         if self.reward_bins == 1:
+            reward = nn.Dense(1, dtype=jnp.float32, name="reward")(x)
             return next_state, jnp.squeeze(reward, axis=-1)
-        return next_state, reward
+        return next_state, _categorical_head(self.reward_bins, "reward")(x)
 
 
 class Encoder(nn.Module):

@@ -100,6 +100,26 @@ class TestCategoricalNetwork:
         nxt, r = net.apply_fns.dynamics(net.params.dynamics, hidden, chance)
         assert nxt.shape == (3, 16) and r.shape == (3,)
 
+    def test_init_expectation_near_zero(self):
+        """Categorical heads must START with expectation ≈ 0 (mass on atom 0),
+        like a scalar head — default init puts it at the support midpoint
+        (h=160 ≈ raw 20k), which inflated every search backup and pinned
+        eval at ~850 (runs/r3_categorical)."""
+        net = create_network(
+            jax.random.PRNGKey(0), hidden_size=16, num_blocks=1,
+            value_bins=BINS, reward_bins=17,
+            value_support_max=VMAX, reward_support_max=100.0,
+        )
+        hidden = jax.random.normal(jax.random.PRNGKey(1), (8, 16))
+        _, v = net.apply_fns.prediction(net.params.prediction, hidden)
+        q, _ = net.apply_fns.afterstate_prediction(net.params.afterstate_prediction, hidden)
+        chance = jnp.zeros((8, net.codebook_size)).at[:, 0].set(1.0)
+        _, r = net.apply_fns.dynamics(net.params.dynamics, hidden, chance)
+        # atom spacing is VMAX/(BINS-1) = 10; "≈ 0" means well under one atom
+        assert float(jnp.abs(v).max()) < 0.1
+        assert float(jnp.abs(q).max()) < 0.1
+        assert float(jnp.abs(r).max()) < 0.1
+
     def test_scalar_mode_unchanged(self):
         net = create_network(jax.random.PRNGKey(0), hidden_size=16, num_blocks=1)
         assert net.apply_fns.prediction_logits is None
