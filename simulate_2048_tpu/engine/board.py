@@ -19,6 +19,9 @@ _TILE_VALUES = np.array([2, 4])
 _TILE_PROBS = np.array([0.9, 0.1])
 
 # Module-level generator for the seedless convenience path (``gameboard.py:20``).
+# Deliberately OUTSIDE the spawn-RNG spec (``ops/rng.py``): it backs only
+# interactive play (`fill_cells(seed=None)`); every parity path routes through
+# the ``*_counter`` variants. Pass ``rng=`` to make the stream explicit.
 _GENERATOR = np.random.default_rng(np.random.PCG64DXSM())
 
 
@@ -112,13 +115,20 @@ def generate_outcome(
     return nxt, TILE_SPAWN_PROBS[value] / num_empty
 
 
-def fill_cells(state: np.ndarray, number_tile: int, seed: int | None = None) -> np.ndarray:
+def fill_cells(
+    state: np.ndarray,
+    number_tile: int,
+    seed: int | None = None,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
     """Spawn ``number_tile`` tiles in-place with NumPy RNG (``gameboard.py:247-288``).
 
     Convenience path for interactive play; NOT the parity path (see
-    :func:`fill_cells_counter`).
+    :func:`fill_cells_counter`). Stream resolution: an explicit ``rng`` wins,
+    then a fresh ``default_rng(seed)``, then the module-level generator.
     """
-    rng = np.random.default_rng(seed) if seed is not None else _GENERATOR
+    if rng is None:
+        rng = np.random.default_rng(seed) if seed is not None else _GENERATOR
     available = np.argwhere(state == 0)
     n = len(available)
     if n == 0:
@@ -149,16 +159,22 @@ def fill_cells_counter(state: np.ndarray, game_seed: int, spawn_index: int) -> n
     return state
 
 
-def next_state(state: np.ndarray, action: int, seed: int | None = None) -> tuple[np.ndarray, float]:
+def next_state(
+    state: np.ndarray,
+    action: int,
+    seed: int | None = None,
+    rng: np.random.Generator | None = None,
+) -> tuple[np.ndarray, float]:
     """Full transition with NumPy RNG spawn (``gameboard.py:291-325``).
 
-    Invalid action ⇒ unchanged board, reward 0, no spawn.
+    Invalid action ⇒ unchanged board, reward 0, no spawn. ``seed``/``rng``
+    resolve as in :func:`fill_cells`.
     """
     rotated = np.rot90(state, k=action)
     if can_move(rotated):
         reward, updated = slide_and_merge(rotated)
         state = np.rot90(updated, k=-action)
-        state = fill_cells(state, number_tile=1, seed=seed)
+        state = fill_cells(state, number_tile=1, seed=seed, rng=rng)
         return state, reward
     return state, 0
 

@@ -152,6 +152,24 @@ class TestSpawnStatistics:
         assert twos + fours == 1000
         assert 0.85 <= twos / 1000 <= 0.95
 
+    def test_explicit_rng_stream_reproduces(self):
+        # The convenience path's stream can be made explicit via rng=; two
+        # identical generators must produce identical spawn sequences (and an
+        # explicit rng wins over seed=).
+        runs = []
+        for _ in range(2):
+            rng = np.random.default_rng(123)
+            board = np.zeros((4, 4), dtype=np.int64)
+            for _ in range(5):
+                fill_cells(board, 1, seed=999, rng=rng)
+            runs.append(board.copy())
+        np.testing.assert_array_equal(runs[0], runs[1])
+        # seed-only with a different seed diverges from the rng=123 stream
+        board = np.zeros((4, 4), dtype=np.int64)
+        for i in range(5):
+            fill_cells(board, 1, seed=5000 + i)
+        assert not np.array_equal(board, runs[0])
+
 
 class TestEnvClass:
     def test_reset_two_tiles(self):
