@@ -2,7 +2,12 @@
 
 Counterpart of ``reinforce/evaluate.py:27-183`` with its stub fixed: the
 reference warns and evaluates a FRESH network when given a checkpoint
-(``evaluate.py:75-78``); here ``--checkpoint-dir`` actually loads weights.
+(``evaluate.py:75-78``); here ``--checkpoint-dir`` actually loads weights AND
+the exact config the checkpoint was trained with (``train_config.json``
+sidecar — the reference saves config in its payload, ``learner.py:382-388``,
+but its eval never reads it). Games are FULL-LENGTH (streaming while-loop,
+``eval_max_moves``) under the calibrated eval search
+(``eval_prior_temperature`` / ``eval_pb_c_init``), matching trainer evals.
 """
 
 from __future__ import annotations
@@ -13,10 +18,25 @@ import collections
 
 def main() -> None:
     parser = argparse.ArgumentParser(description="Evaluate a Stochastic MuZero agent on 2048")
-    parser.add_argument("--mode", choices=["tiny", "small", "full"], default="small")
+    parser.add_argument(
+        "--mode",
+        choices=["tiny", "small", "full"],
+        default="small",
+        help="config preset; ignored when --checkpoint-dir holds a train_config.json sidecar",
+    )
     parser.add_argument("--games", type=int, default=10)
     parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--step", type=int, default=None, help="checkpoint step (default: latest)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--set",
+        dest="overrides",
+        action="append",
+        default=[],
+        metavar="FIELD=VALUE",
+        help="override any TrainConfig field after sidecar/preset resolution "
+        "(e.g. --set eval_prior_temperature=4.0); repeatable",
+    )
     args = parser.parse_args()
 
     from simulate_2048_tpu.utils.platform import enable_compile_cache, respect_env_platforms
@@ -25,7 +45,6 @@ def main() -> None:
     enable_compile_cache()
 
     import jax
-    import numpy as np
 
     from simulate_2048_tpu.training import (
         CheckpointManager,
@@ -34,36 +53,65 @@ def main() -> None:
         small_config,
         tiny_config,
     )
-    from simulate_2048_tpu.training.self_play import play_games
+    from simulate_2048_tpu.training.checkpoint import load_train_config
+    from simulate_2048_tpu.training.self_play import evaluate_games
 
-    config = {"tiny": tiny_config, "small": small_config, "full": default_config}[args.mode]()
+    config = None
+    if args.checkpoint_dir:
+        config = load_train_config(args.checkpoint_dir)
+        if config is not None:
+            print(f"config: {args.checkpoint_dir}/train_config.json")
+    if config is None:
+        config = {"tiny": tiny_config, "small": small_config, "full": default_config}[args.mode]()
+    if args.overrides:
+        import ast
+        import dataclasses
+
+        fields = {}
+        for item in args.overrides:
+            key, _, raw = item.partition("=")
+            if not hasattr(config, key):
+                parser.error(f"unknown TrainConfig field: {key!r}")
+            try:
+                fields[key] = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                fields[key] = raw
+        config = dataclasses.replace(config, **fields)
+        print(f"config overrides: {fields}")
+
     state, network = create_train_state(jax.random.PRNGKey(args.seed), config)
 
     if args.checkpoint_dir:
         mgr = CheckpointManager(args.checkpoint_dir)
-        restored = mgr.restore(state)
+        restored = mgr.restore(state, step=args.step)
         if restored is None:
             print(f"warning: no checkpoint found in {args.checkpoint_dir}; using fresh weights")
         else:
             state = restored
             print(f"loaded checkpoint at step {int(state.step)}")
 
-    import jax.numpy as jnp
-
-    traj = play_games(
-        state.params, network.apply_fns, jax.random.PRNGKey(args.seed + 1),
-        jnp.float32(0.0), config, args.games, True,
+    stats = evaluate_games(
+        state.params,
+        network.apply_fns,
+        jax.random.PRNGKey(args.seed + 1),
+        config,
+        num_games=args.games,
+        include_per_game=True,
     )
 
-    rewards = np.asarray(traj.total_reward)
-    tiles = np.asarray(traj.max_tile)
     print(f"games: {args.games}")
-    print(f"mean reward: {rewards.mean():.1f} ± {rewards.std():.1f} (max {rewards.max():.0f})")
-    print(f"mean length: {np.asarray(traj.length).mean():.1f}")
-    histogram = collections.Counter(tiles.tolist())
+    print(
+        f"mean reward: {stats['mean_reward']:.1f} ± {stats['std_reward']:.1f}"
+        f" (sem {stats['sem_reward']:.1f}, max {stats['max_reward']:.0f})"
+    )
+    print(f"mean length: {stats['mean_length']:.1f}")
+    print(f"mean search value: {stats['mean_search_value']:.1f}")
+    histogram = collections.Counter(stats["per_game_tiles"])
     print("max-tile histogram:")
     for tile in sorted(histogram):
         print(f"  {tile}: {histogram[tile]}")
+    for tile in (512, 1024, 2048):
+        print(f"reached {tile}: {stats[f'reached_{tile}']}/{args.games}")
 
 
 if __name__ == "__main__":

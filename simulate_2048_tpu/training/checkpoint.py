@@ -9,6 +9,8 @@ resumed runs are bitwise-continuations.
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from typing import Any
 
@@ -117,9 +119,64 @@ class CheckpointManager:
             step=jax.numpy.int32(restored["step"]),
         )
 
+    def save_config(self, config: Any) -> None:
+        """Persist the TrainConfig as a JSON sidecar (``train_config.json``).
+
+        The reference stores its config inside the orbax payload
+        (``learner.py:382-388``); a JSON sidecar is equally durable and lets
+        tools (eval CLI, sweep scripts) rebuild the EXACT training config —
+        including model-shape fields like ``value_bins`` — without guessing
+        which preset/overrides produced the checkpoint.
+        """
+        path = os.path.join(self.directory, "train_config.json")
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(config), f, indent=1, default=str)
+
+    def load_config_dict(self) -> dict[str, Any] | None:
+        """The saved config as a plain dict (JSON types), or None if absent.
+
+        Use :func:`load_train_config` to rebuild a ``TrainConfig``.
+        """
+        path = os.path.join(self.directory, "train_config.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def latest_step(self) -> int | None:
         """Most recent saved step (``learner.py:481-485``)."""
         return self._manager.latest_step()
 
     def close(self) -> None:
         self._manager.close()
+
+
+def load_train_config(checkpoint_dir: str):
+    """Rebuild the ``TrainConfig`` a checkpoint was trained with, or None.
+
+    Reads the ``train_config.json`` sidecar written by
+    :meth:`CheckpointManager.save_config`, restoring JSON lists to the
+    tuple-typed fields (``temperature_schedule``). Unknown keys (from a
+    newer/older config schema) are dropped with a warning rather than
+    failing, so old checkpoints stay loadable.
+    """
+    import warnings
+
+    from simulate_2048_tpu.training.config import TrainConfig
+
+    mgr_dir = os.path.abspath(checkpoint_dir)
+    path = os.path.join(mgr_dir, "train_config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        raw = json.load(f)
+    if "temperature_schedule" in raw:
+        raw["temperature_schedule"] = tuple(
+            (int(s), float(t)) for s, t in raw["temperature_schedule"]
+        )
+    known = {f.name for f in dataclasses.fields(TrainConfig)}
+    unknown = set(raw) - known
+    if unknown:
+        warnings.warn(f"train_config.json: dropping unknown fields {sorted(unknown)}")
+        raw = {k: v for k, v in raw.items() if k in known}
+    return TrainConfig(**raw)

@@ -483,6 +483,7 @@ def evaluate_games(
     key: Array,
     config: TrainConfig,
     num_games: int | None = None,
+    include_per_game: bool = False,
 ) -> dict[str, Any]:
     """Greedy evaluation with summary stats (``self_play.py:460-521``).
 
@@ -524,6 +525,11 @@ def evaluate_games(
     }
     for tile in (256, 512, 1024, 2048, 4096, 8192, 16384, 32768):
         stats[f"reached_{tile}"] = int((tiles >= tile).sum())
+    if include_per_game:
+        # Raw per-game arrays for tools that need distributions (eval CLI's
+        # tile histogram); OFF by default so trainer metric rows stay scalar.
+        stats["per_game_rewards"] = rewards.tolist()
+        stats["per_game_tiles"] = tiles.tolist()
     return stats
 
 

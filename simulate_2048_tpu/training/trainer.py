@@ -100,6 +100,9 @@ class Trainer:
         seed = jax.random.randint(self._next_key(), (), 0, 1 << 30, dtype=jnp.int32)
         self.gen_state = envlib.reset_batch(seed.astype(jnp.uint32), self.config.num_parallel_games)
         if self._ckpt is not None:
+            # Sidecar so the eval CLI / sweep tools can rebuild this exact
+            # config (incl. model-shape overrides) from the checkpoint dir.
+            self._ckpt.save_config(self.config)
             restored = self._ckpt.restore(self.state)
             if restored is not None:
                 self.state = restored

@@ -477,6 +477,31 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         mgr.close()
 
+    def test_config_sidecar_roundtrip(self, tmp_path):
+        """save_config → load_train_config rebuilds the EXACT TrainConfig,
+        including tuple-typed and None fields and model-shape overrides —
+        so the eval CLI can evaluate a checkpoint trained with --set
+        overrides (e.g. categorical heads) without guessing the preset."""
+        from simulate_2048_tpu.training import CheckpointManager
+        from simulate_2048_tpu.training.checkpoint import load_train_config
+
+        cfg = replace(
+            CFG,
+            hidden_size=16,
+            value_bins=64,
+            reward_bins=32,
+            eval_prior_temperature=4.0,
+            eval_pb_c_init=0.5,
+            temperature_schedule=((0, 1.0), (500, 0.5)),
+            lr_decay_steps=None,
+        )
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save_config(cfg)
+        mgr.close()
+        loaded = load_train_config(str(tmp_path / "ckpt"))
+        assert loaded == cfg
+        assert load_train_config(str(tmp_path / "empty")) is None
+
     def test_runtime_resume_restores_gen_state_and_backfill(self, tmp_path):
         """A resumed trainer continues the in-flight games and keeps the
         pending cross-segment-backfill rows (VERDICT r2 #7): the bookkeeping
