@@ -656,6 +656,21 @@ def _run_packed(
             pltpu.VMEM((p + 1, g), jnp.float32),  # vbuf
         ]
         + stream_scratch,
+        # Raise Mosaic's scoped-vmem limit only when this config actually
+        # exceeds the 16 MB compiler default (configs that fit keep the
+        # default scheduling exactly); the full config needs ~2× its
+        # estimate to cover compiler-staged operands.
+        compiler_params=(
+            pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    VMEM_LIMIT_BYTES,
+                    2 * search_vmem_bytes(cfg, hidden, num_blocks, packed[0].dtype, stream_chunk),
+                )
+            )
+            if search_vmem_bytes(cfg, hidden, num_blocks, packed[0].dtype, stream_chunk)
+            > 14 * 1024 * 1024
+            else None
+        ),
         interpret=interpret,
     )(root_hidden_t, root_probs_t, root_value, *packed)
     return visits, qvals, rootv
@@ -747,9 +762,18 @@ def run_mcts_pallas(
 # VMEM budget / dispatch support
 # ---------------------------------------------------------------------------
 
-# Leave headroom under the ~16 MB/core VMEM for Mosaic temporaries (the
-# per-expansion matmul chain materializes a few (H, G) / (K, G) activations).
-VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+# Mosaic's DEFAULT scoped-vmem limit is 16 MB — but that is a compiler
+# default, not the hardware: v5e/v5p cores have 128 MB of physical VMEM.
+# The kernel raises the limit via CompilerParams(vmem_limit_bytes=
+# VMEM_LIMIT_BYTES), so the paper-full H=256×10 preset runs with weights
+# RESIDENT (est. 24 MB bf16 / 41 MB f32) instead of falling back to XLA.
+# The budget below gates the plan decision; the gap to the limit leaves
+# room for Mosaic temporaries (the per-expansion matmul chain materializes
+# a few (H, G)/(K, G) activations) and for operands the compiler chooses
+# to stage in VMEM (measured: the full-config streaming variant's true
+# scoped allocation was est + the full hh pack).
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+VMEM_BUDGET_BYTES = 64 * 1024 * 1024
 
 
 def search_vmem_bytes(

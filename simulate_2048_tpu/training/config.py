@@ -332,8 +332,13 @@ def default_config() -> TrainConfig:
     and LayerNorm stats stay f32) — see ``scripts/benchmark_training.py``'s
     fp32-vs-bf16 numbers in docs/project.md. Flip with
     ``--set use_bfloat16=False``.
+
+    ``search_backend="auto"``: on TPU the flagship's lane-aligned batches
+    (256 parallel games = 2×128 lanes) run the whole-search Pallas kernel
+    with weights VMEM-resident — measured 133.9 ms vs 164.1 ms XLA at
+    B=1024×100 sims (v5e-1) with bitwise-identical visit counts in f32.
     """
-    return TrainConfig(use_bfloat16=True)
+    return TrainConfig(use_bfloat16=True, search_backend="auto")
 
 
 def small_config() -> TrainConfig:

@@ -167,11 +167,14 @@ class TestVmemEnvelope:
         assert search_vmem_bytes(small, 128, 5, jnp.bfloat16) < search_vmem_bytes(
             small, 128, 5, jnp.float32
         )
-        # the paper-full net exceeds VMEM resident in any dtype; in bf16 the
-        # tree tables alone fit, so the plan is HBM weight streaming
-        assert pallas_search_plan(full, 256, 10, 256, jnp.bfloat16) not in (None, 0)
-        # f32 full: even the tables exceed VMEM — XLA fallback
-        assert pallas_search_plan(full, 256, 10, 256, jnp.float32) is None
+        # the paper-full net fits RESIDENT under the raised VMEM limit
+        # (Mosaic's 16 MB scoped default is a compiler default, not the
+        # 128 MB/core hardware; the kernel passes vmem_limit_bytes).
+        assert pallas_search_plan(full, 256, 10, 256, jnp.bfloat16) == 0
+        assert pallas_search_plan(full, 256, 10, 256, jnp.float32) == 0
+        # a hidden-512 tower's f32 weight pack (~92 MB) exceeds the budget —
+        # HBM weight streaming engages
+        assert pallas_search_plan(full, 512, 10, 256, jnp.float32) not in (None, 0)
         # streaming VMEM estimate is independent of resident weight size
         assert search_vmem_bytes(full, 256, 10, jnp.bfloat16, 2) < search_vmem_bytes(
             full, 256, 10, jnp.bfloat16
