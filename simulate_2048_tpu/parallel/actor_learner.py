@@ -265,7 +265,16 @@ class LearnerServer:
 
     def close(self) -> None:
         self._stop.set()
+        # close() alone does not wake a thread blocked in accept() on Linux;
+        # shutdown() forces the syscall to return so the accept thread exits
+        # instead of lingering for the life of the process.
+        try:
+            self._listener.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass  # not listening / already closed
         self._listener.close()
+        if self._accept_thread.is_alive():
+            self._accept_thread.join(timeout=5.0)
 
 
 # ---------------------------------------------------------------------------

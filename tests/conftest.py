@@ -22,4 +22,9 @@ import jax  # noqa: E402
 # TPU tunnel. Pin the config itself.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# Cache only genuinely expensive programs. At 0.1s the full suite serialized
+# hundreds of tiny executables, and XLA:CPU's executable (de)serialization
+# segfaulted sporadically near the end of long runs (3× observed, always
+# inside put/get_executable_and_time). The expensive search/self-play/loss
+# programs that dominate wall-clock all compile in >2s and stay cached.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

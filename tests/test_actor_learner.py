@@ -90,6 +90,16 @@ class TestFailurePaths:
         yield server
         server.close()
 
+    def test_close_terminates_accept_thread(self, server):
+        # close() must WAKE the thread blocked in accept() (socket.close alone
+        # doesn't on Linux); before the shutdown() fix these threads lingered
+        # for the life of the process — three suite-long runs showed them
+        # still alive in the final faulthandler dump.
+        assert server._accept_thread.is_alive()
+        server.close()
+        server._accept_thread.join(timeout=5.0)
+        assert not server._accept_thread.is_alive()
+
     def test_full_queue_drops_oldest_never_blocks(self, server):
         import queue as queue_mod
 
