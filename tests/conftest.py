@@ -28,3 +28,20 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__fi
 # inside put/get_executable_and_time). The expensive search/self-play/loss
 # programs that dominate wall-clock all compile in >2s and stay cached.
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the number of live XLA:CPU executables in one pytest process.
+
+    With the whole suite in a single process, XLA:CPU segfaulted sporadically
+    late in the run — inside executable serialization, deserialization, OR
+    compilation (4 observed runs, always the same late-collected module's
+    programs, each of which compiles cleanly alone or early). Dropping the
+    executable caches between modules keeps the process young; heavyweight
+    programs reload from the persistent cache in milliseconds.
+    """
+    yield
+    jax.clear_caches()
