@@ -64,25 +64,25 @@ def main() -> None:
     if config is None:
         config = {"tiny": tiny_config, "small": small_config, "full": default_config}[args.mode]()
     if args.overrides:
-        import ast
-        import dataclasses
+        from simulate_2048_tpu.training.config import apply_overrides
 
-        fields = {}
-        for item in args.overrides:
-            key, _, raw = item.partition("=")
-            if not hasattr(config, key):
-                parser.error(f"unknown TrainConfig field: {key!r}")
-            try:
-                fields[key] = ast.literal_eval(raw)
-            except (ValueError, SyntaxError):
-                fields[key] = raw
-        config = dataclasses.replace(config, **fields)
-        print(f"config overrides: {fields}")
+        try:
+            config = apply_overrides(config, args.overrides)
+        except ValueError as e:
+            parser.error(str(e))
+        print(f"config overrides: {args.overrides}")
 
     state, network = create_train_state(jax.random.PRNGKey(args.seed), config)
 
     if args.checkpoint_dir:
         mgr = CheckpointManager(args.checkpoint_dir)
+        if args.step is not None:
+            available = mgr.all_steps()
+            if args.step not in available:
+                parser.error(
+                    f"step {args.step} has no checkpoint in {args.checkpoint_dir}; "
+                    f"available steps: {sorted(available) or 'none'}"
+                )
         restored = mgr.restore(state, step=args.step)
         if restored is None:
             print(f"warning: no checkpoint found in {args.checkpoint_dir}; using fresh weights")

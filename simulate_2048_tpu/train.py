@@ -45,20 +45,13 @@ def main() -> None:
 
     config = {"tiny": tiny_config, "small": small_config, "full": default_config}[args.mode]()
     if args.overrides:
-        import ast
-        import dataclasses
+        from simulate_2048_tpu.training.config import apply_overrides
 
-        fields = {}
-        for item in args.overrides:
-            key, _, raw = item.partition("=")
-            if not hasattr(config, key):
-                parser.error(f"unknown TrainConfig field: {key!r}")
-            try:
-                fields[key] = ast.literal_eval(raw)
-            except (ValueError, SyntaxError):
-                fields[key] = raw
-        config = dataclasses.replace(config, **fields)
-        print(f"config overrides: {fields}")
+        try:
+            config = apply_overrides(config, args.overrides)
+        except ValueError as e:
+            parser.error(str(e))
+        print(f"config overrides: {args.overrides}")
     print(f"mode={args.mode} devices={jax.devices()}")
 
     mesh = None

@@ -147,6 +147,10 @@ class CheckpointManager:
         """Most recent saved step (``learner.py:481-485``)."""
         return self._manager.latest_step()
 
+    def all_steps(self) -> list[int]:
+        """Every step with a saved checkpoint (for ``--step`` validation)."""
+        return list(self._manager.all_steps())
+
     def close(self) -> None:
         self._manager.close()
 

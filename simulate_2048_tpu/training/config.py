@@ -55,6 +55,16 @@ class TrainConfig:
     # lifted the 30k champion checkpoint from 2186 to 2938 eval with no
     # retraining. 1.0 = paper/reference behavior.
     prior_temperature: float = 1.0
+    # Root action selection for COLLECTION search. "puct" = Dirichlet-noised
+    # PUCT (paper/reference, ``stochastic_mctx.py:289-301``); "gumbel" =
+    # Gumbel-MuZero sequential halving at the root (``search/mcts.py``
+    # ``SearchConfig.root_selection``): policy targets become the improved
+    # policy softmax(logits + σ(q̂)) and Gumbel noise replaces Dirichlet —
+    # matches PUCT strength at 2-4× fewer simulations, multiplying self-play
+    # games per chip-hour. Applies to collection only: evaluation always
+    # searches with PUCT + the eval calibration overrides, so eval curves
+    # stay comparable across arms (and across rounds).
+    root_selection: str = "puct"
     # EVAL-ONLY search calibration overrides (None = use the training values).
     # The round-2 sweep found prior_temperature=4 + pb_c_init=0.5 lifts a
     # trained checkpoint ~+750 eval — but the SAME knobs at collection time
@@ -158,6 +168,15 @@ class TrainConfig:
     # stay max_trajectory_length long; the reference caps eval games at 200
     # moves too, clipping measurable strength — reaching 2048 takes ~950+).
     eval_max_moves: int = 1_200
+    # DEEP evaluation at long-run decision points (VERDICT r3 weak #4: the
+    # 32-game inline evals' sem ≈ 300 hid a 2174 → 2826 improvement that the
+    # n=128 protocol exposed). Every ``deep_eval_interval`` steps the trainer
+    # plays ``deep_eval_games`` full games (sem ≈ 150 at n=128), logs them
+    # under ``deep_eval/``, and keeps a best-by-deep-eval checkpoint in
+    # ``<checkpoint_dir>/best`` — champion selection is by deep eval, never
+    # by the noisy inline curve. None = off (short runs).
+    deep_eval_interval: int | None = None
+    deep_eval_games: int = 128
 
     # Ground truncated segments' value targets with their successor segment
     # once it is generated (replay.backfill_returns): the boundary bootstrap
@@ -301,6 +320,13 @@ class TrainConfig:
             raise ValueError("reanalyze_mode must be 'value' or 'search'")
         if self.search_backend not in ("xla", "pallas", "auto"):
             raise ValueError("search_backend must be 'xla', 'pallas' or 'auto'")
+        if self.root_selection not in ("puct", "gumbel"):
+            raise ValueError("root_selection must be 'puct' or 'gumbel'")
+        if self.root_selection == "gumbel" and self.search_backend == "pallas":
+            raise ValueError(
+                "the Pallas search kernel implements PUCT root selection only; "
+                "root_selection='gumbel' requires search_backend='xla' or 'auto'"
+            )
         if self.search_weight_dtype not in ("float32", "bfloat16"):
             raise ValueError("search_weight_dtype must be 'float32' or 'bfloat16'")
         if self.value_bins < 1 or self.reward_bins < 1:
@@ -323,6 +349,78 @@ class TrainConfig:
             if training_step >= step:
                 temperature = temp
         return temperature
+
+
+def apply_overrides(config: TrainConfig, items: list[str]) -> TrainConfig:
+    """Apply ``FIELD=VALUE`` override strings with type coercion.
+
+    Shared by the train/eval CLIs' ``--set`` flags. Values are parsed as
+    Python literals and then coerced against the dataclass field's declared
+    type — so ``--set use_bfloat16=true`` (lowercase) becomes the bool True
+    instead of silently storing the truthy *string* ``'true'`` in a bool
+    field (``dataclasses.replace`` does no type checking). Raises
+    ``ValueError`` with the offending field for anything uncoercible.
+    """
+    import dataclasses
+    import typing
+
+    hints = typing.get_type_hints(TrainConfig)
+    fields = {}
+    for item in items:
+        key, _, raw = item.partition("=")
+        if not any(f.name == key for f in dataclasses.fields(TrainConfig)):
+            raise ValueError(f"unknown TrainConfig field: {key!r}")
+        fields[key] = _coerce_override(key, raw, hints[key])
+    return dataclasses.replace(config, **fields)
+
+
+def _coerce_override(key: str, raw: str, hint):
+    """One override value → the field's declared type (helper of
+    :func:`apply_overrides`)."""
+    import ast
+    import typing
+
+    try:
+        value = ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        value = raw  # bare string (e.g. --set chance_target_mode=oracle)
+
+    args = typing.get_args(hint)
+    allow_none = type(None) in args
+    bases = [a for a in (args or (hint,)) if a is not type(None)]
+    base = bases[0] if bases else hint
+
+    if value is None:
+        if allow_none:
+            return None
+        raise ValueError(f"{key}: None is not valid (field type {hint})")
+    if base is bool:
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str) and value.lower() in ("true", "false"):
+            return value.lower() == "true"
+        if isinstance(value, int) and value in (0, 1):
+            return bool(value)
+        raise ValueError(f"{key}: cannot coerce {raw!r} to bool")
+    if base is float:
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            return float(value)
+        raise ValueError(f"{key}: cannot coerce {raw!r} to float")
+    if base is int:
+        if isinstance(value, int) and not isinstance(value, bool):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        raise ValueError(f"{key}: cannot coerce {raw!r} to int")
+    if base is str:
+        if isinstance(value, str):
+            return value
+        raise ValueError(f"{key}: cannot coerce {raw!r} to str")
+    # Tuple-typed fields (temperature_schedule): accept list/tuple literals,
+    # normalizing lists to tuples recursively.
+    if isinstance(value, list):
+        return tuple(tuple(x) if isinstance(x, list) else x for x in value)
+    return value
 
 
 def default_config() -> TrainConfig:
