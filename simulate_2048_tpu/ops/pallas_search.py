@@ -32,13 +32,17 @@ Layout (see /opt/skills/guides/pallas_guide.md):
   the whole matmul chain per expansion unrolls at trace time.
 
 VMEM budget (f32, H=128, NB=5, S=50): tables ≈ 6.8 MB + weights ≈ 3.2 MB +
-activations < 1 MB — fits the ~16 MB/core budget. ``weight_dtype=bfloat16``
-halves the weight + embedding-table footprint AND runs every expansion
-matmul MXU-native (one bf16 pass instead of the 3-pass f32 decomposition);
-``search_vmem_bytes``/``pallas_search_supported`` decide per-config whether
-the kernel fits. The paper-full config (H=256, NB=10, S=100) exceeds VMEM in
-any dtype ≥ 1 byte (weights alone are 11.5 MB bf16, tables ~13 MB) and keeps
-the XLA fallback — the estimator encodes that honestly.
+activations < 1 MB — fits Mosaic's 16 MB default scoped-vmem limit.
+``weight_dtype=bfloat16`` halves the weight + embedding-table footprint AND
+runs every expansion matmul MXU-native (one bf16 pass instead of the 3-pass
+f32 decomposition); ``search_vmem_bytes``/``pallas_search_plan`` decide
+per-config how the kernel runs. Mosaic's 16 MB limit is a COMPILER DEFAULT,
+not the hardware (v5e has 128 MB VMEM/core): configs above it raise the
+limit via ``CompilerParams(vmem_limit_bytes=…)``, so the paper-full preset
+(H=256, NB=10, S=100 — est. 24 MB bf16 / 41 MB f32) runs WEIGHTS-RESIDENT
+up to ``VMEM_BUDGET_BYTES``. Beyond that, ``stream_chunk`` switches the hh
+weight pack to double-buffered HBM→VMEM streaming (the path for
+≥hidden-512 towers), and only past both does the plan fall back to XLA.
 
 Equivalence: same algorithm and arithmetic as ``search/mcts.py`` up to
 float reduction order (Mosaic vs XLA accumulate differently), so tests
@@ -620,7 +624,7 @@ def _run_packed(
 
     # Streaming mode: hh stays in HBM (ANY) and the kernel double-buffers
     # chunk DMAs through a 2-slot VMEM scratch.
-    hh_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream_chunk else whole()
+    hh_spec = pl.BlockSpec(memory_space=pl.ANY) if stream_chunk else whole()
     stream_scratch = (
         [
             pltpu.VMEM((2, stream_chunk, h, h), packed[0].dtype),  # wslot
@@ -630,6 +634,7 @@ def _run_packed(
         else []
     )
 
+    vmem_estimate = search_vmem_bytes(cfg, hidden, num_blocks, packed[0].dtype, stream_chunk)
     visits, qvals, rootv = pl.pallas_call(
         kernel,
         grid=grid,
@@ -659,16 +664,15 @@ def _run_packed(
         # Raise Mosaic's scoped-vmem limit only when this config actually
         # exceeds the 16 MB compiler default (configs that fit keep the
         # default scheduling exactly); the full config needs ~2× its
-        # estimate to cover compiler-staged operands.
+        # estimate to cover compiler-staged operands. 2× the plan's maximum
+        # admitted estimate (VMEM_BUDGET_BYTES) never exceeds
+        # VMEM_LIMIT_BYTES, so a config the plan accepted cannot turn into a
+        # Mosaic compile failure here (ADVICE r3).
         compiler_params=(
             pltpu.CompilerParams(
-                vmem_limit_bytes=min(
-                    VMEM_LIMIT_BYTES,
-                    2 * search_vmem_bytes(cfg, hidden, num_blocks, packed[0].dtype, stream_chunk),
-                )
+                vmem_limit_bytes=min(VMEM_LIMIT_BYTES, 2 * vmem_estimate)
             )
-            if search_vmem_bytes(cfg, hidden, num_blocks, packed[0].dtype, stream_chunk)
-            > 14 * 1024 * 1024
+            if vmem_estimate > 14 * 1024 * 1024
             else None
         ),
         interpret=interpret,
@@ -773,7 +777,13 @@ def run_mcts_pallas(
 # to stage in VMEM (measured: the full-config streaming variant's true
 # scoped allocation was est + the full hh pack).
 VMEM_LIMIT_BYTES = 100 * 1024 * 1024
-VMEM_BUDGET_BYTES = 64 * 1024 * 1024
+# Plan-admission budget. Must satisfy 2 * VMEM_BUDGET_BYTES <=
+# VMEM_LIMIT_BYTES: the raised compiler limit is 2× the estimate (the
+# measured overshoot for compiler-staged operands), so any estimate the plan
+# admits compiles instead of tripping Mosaic's scoped-vmem check (ADVICE
+# r3). 50 MB still admits the paper-full preset resident in both dtypes
+# (est. 24 MB bf16 / 41 MB f32).
+VMEM_BUDGET_BYTES = 50 * 1024 * 1024
 
 
 def search_vmem_bytes(
@@ -833,6 +843,7 @@ def search_vmem_bytes(
 def _in_scope(config: SearchConfig, batch_size: int) -> bool:
     return (
         config.chance_selection == "argmax"
+        and config.root_selection == "puct"
         and config.pw_c is None
         and batch_size % BLOCK_G == 0
     )

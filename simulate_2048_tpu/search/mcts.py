@@ -85,6 +85,27 @@ class SearchConfig(NamedTuple):
     # pb_c_init=0.5 lifted the same checkpoint's eval from 2186±107 to
     # 2938±185 (64 games). 1.0 = paper/reference behavior.
     prior_temperature: float = 1.0
+    # Root ACTION selection policy:
+    # - "puct": Dirichlet-noised PUCT at the root like everywhere else (the
+    #   paper/reference scheme, ``stochastic_mctx.py:289-301``).
+    # - "gumbel": Gumbel-MuZero sequential halving (Danihelka et al., ICLR
+    #   2022) — root simulations follow a precomputed considered-visits
+    #   schedule over the top-m actions ranked by g + logits + σ(q̂), with
+    #   Gumbel noise g replacing Dirichlet noise, and the returned
+    #   ``action_weights`` are the IMPROVED POLICY softmax(logits + σ(q̂))
+    #   instead of the visit distribution. Sampling an action from those
+    #   weights at T=1 is exactly the Gumbel-max draw the paper plays, and
+    #   using them as the stored policy target is the paper's improved-policy
+    #   target. Matches PUCT strength at 2-4× fewer simulations at the root
+    #   — the lever that multiplies self-play games per chip-hour.
+    #   Interior decision nodes keep PUCT; chance nodes are untouched.
+    root_selection: str = "puct"
+    # Scale of the root Gumbel noise (0 ⇒ deterministic, for evaluation).
+    gumbel_scale: float = 1.0
+    # σ(q̂) = (c_visit + max_b N(b)) · c_scale · q̂ with q̂ min-max normalized
+    # — the monotone Q transform of Gumbel MuZero §3 (mctx defaults).
+    gumbel_c_visit: float = 50.0
+    gumbel_c_scale: float = 0.1
     # Networks predict value/reward in h-SCALED space (the training loss
     # regresses toward h(z), ``training/losses.py``), but tree backups compute
     # r + γ·v — only meaningful in RAW (linear) space. When set, every network
@@ -96,6 +117,99 @@ class SearchConfig(NamedTuple):
     # ``TrainConfig.search_untransform_values``) collapses the learned value
     # horizon to ~td_steps of raw reward (docs/project.md round-2 analysis).
     value_transform_epsilon: float | None = None
+
+
+def considered_visits_table(max_considered: int, num_simulations: int) -> tuple:
+    """Sequential-halving visit schedule (Gumbel MuZero, Danihelka et al.
+    ICLR 2022, §4 "Planning at the root").
+
+    Row ``m`` is the per-simulation target visit count when ``m`` actions are
+    under consideration: the simulation at index ``s`` visits an action whose
+    current visit count equals ``row[s]``. The schedule cycles the m
+    considered actions round-robin, halving the considered set every
+    ``num_simulations / (log2(m) · m_phase)`` sweeps, so the budget splits
+    evenly across the log2(m) halving phases. Rows 0/1 degenerate to
+    0,1,2,… (a single candidate is revisited every simulation).
+
+    Returns a tuple of ``max_considered + 1`` tuples, each of length
+    ``num_simulations`` — static data, computed at trace time.
+    """
+    import math
+
+    def sequence(m: int) -> tuple:
+        if m <= 1:
+            return tuple(range(num_simulations))
+        log2m = max(1, math.ceil(math.log2(m)))
+        visits = [0] * m
+        seq: list[int] = []
+        considered = m
+        while len(seq) < num_simulations:
+            extra = max(1, num_simulations // (log2m * considered))
+            for _ in range(extra):
+                seq.extend(visits[:considered])
+                for i in range(considered):
+                    visits[i] += 1
+            considered = max(2, considered // 2)
+        return tuple(seq[:num_simulations])
+
+    return tuple(sequence(m) for m in range(max_considered + 1))
+
+
+def _gumbel_root_action(
+    tree: Tree, cfg: "SearchConfig", gumbel: Array, sim_index: Array, table: Array
+) -> Array:
+    """Root action for simulation ``sim_index`` under sequential halving.
+
+    Candidates are the actions whose CURRENT root visit count equals the
+    scheduled count ``table[num_legal, sim_index]``; among them the winner
+    maximizes g + log π + σ(q̂). Because root visits are driven only by this
+    rule, the invariant "exactly the top-m considered actions sit at the
+    scheduled count" holds and the argmax walks the halving bracket.
+    """
+    a = cfg.num_actions
+    prior = tree.prior_probs[ROOT][:a]
+    visits = tree.children_visits[ROOT][:a]
+    q = tree.children_values[ROOT][:a]
+    parent_value = tree.node_value[ROOT]
+
+    legal = prior > 0
+    completed = jnp.where(visits > 0, q, parent_value)
+    lo = jnp.minimum(jnp.min(completed), parent_value)
+    hi = jnp.maximum(jnp.max(completed), parent_value)
+    qn = (completed - lo) / jnp.maximum(hi - lo, 1e-8)
+    sigma = (cfg.gumbel_c_visit + jnp.max(visits)) * cfg.gumbel_c_scale * qn
+    # log π is equivalent to the raw logits up to a constant (argmax-invariant).
+    score = gumbel + jnp.log(jnp.maximum(prior, 1e-30)) + sigma
+
+    num_legal = jnp.sum(legal.astype(jnp.int32))
+    target = table[jnp.minimum(num_legal, table.shape[0] - 1), sim_index]
+    cand = legal & (visits == target)
+    picked = jnp.argmax(jnp.where(cand, score, NEG_INF))
+    # Degenerate guard (never hit when the invariant holds — e.g. a root with
+    # zero legal actions): best legal score, then slot 0.
+    fallback = jnp.argmax(jnp.where(legal, score, NEG_INF))
+    return jnp.where(jnp.any(cand), picked, fallback).astype(jnp.int32)
+
+
+def _gumbel_improved_policy(tree: Tree, cfg: "SearchConfig") -> Array:
+    """π′ = softmax(log π + σ(q̂)) over legal root actions — Gumbel MuZero's
+    improved policy (the stored training target, and the distribution whose
+    T=1 sample reproduces the paper's argmax(g + logits + σ(q)) play via the
+    Gumbel-max trick)."""
+    a = cfg.num_actions
+    prior = tree.prior_probs[ROOT][:a]
+    visits = tree.children_visits[ROOT][:a]
+    q = tree.children_values[ROOT][:a]
+    parent_value = tree.node_value[ROOT]
+
+    legal = prior > 0
+    completed = jnp.where(visits > 0, q, parent_value)
+    lo = jnp.minimum(jnp.min(completed), parent_value)
+    hi = jnp.maximum(jnp.max(completed), parent_value)
+    qn = (completed - lo) / jnp.maximum(hi - lo, 1e-8)
+    sigma = (cfg.gumbel_c_visit + jnp.max(visits)) * cfg.gumbel_c_scale * qn
+    logits = jnp.where(legal, jnp.log(jnp.maximum(prior, 1e-30)) + sigma, NEG_INF)
+    return jax.nn.softmax(logits)
 
 
 class PolicyOutput(NamedTuple):
@@ -185,7 +299,7 @@ def _select_child(tree: Tree, node: Array, cfg: SearchConfig, key: Array | None 
 
 
 def _traverse(
-    tree: Tree, cfg: SearchConfig, key: Array | None = None
+    tree: Tree, cfg: SearchConfig, key: Array | None = None, root_action: Array | None = None
 ) -> tuple[Array, Array, Array, Array, Array]:
     """Walk from the root until an unexpanded edge (or the depth cap).
 
@@ -195,7 +309,9 @@ def _traverse(
     ``path_nodes[i], path_edges[i]`` for ``i < depth`` are the traversed
     pairs, ``path_nodes[depth-1] == parent`` and ``path_edges[depth-1] ==
     edge``. ``key`` drives chance-node sampling (``chance_selection="sample"``
-    only; unused and optional otherwise).
+    only; unused and optional otherwise). ``root_action``, when given,
+    overrides the FIRST pick (Gumbel sequential halving at the root); interior
+    nodes always use :func:`_select_child`.
     """
     # A path of depth L needs L expanded ancestors, so depth can never exceed
     # num_simulations + 1 — clamping keeps the recorded-path arrays (and the
@@ -224,7 +340,7 @@ def _traverse(
         edges = edges.at[depth].set(action)
         return node, action, tree.children_index[node, action], depth + 1, nodes, edges, k
 
-    action0 = pick(ROOT, key)
+    action0 = pick(ROOT, key) if root_action is None else root_action
     nodes0 = jnp.zeros((max_depth,), jnp.int32).at[0].set(ROOT)
     edges0 = jnp.zeros((max_depth,), jnp.int32).at[0].set(action0)
     state = (ROOT, action0, tree.children_index[ROOT, action0], jnp.int32(1), nodes0, edges0, key)
@@ -332,10 +448,11 @@ def _expand_and_backup(
     apply_fns: NetworkApplyFns,
     cfg: SearchConfig,
     key: Array | None = None,
+    root_action: Array | None = None,
 ) -> Tree:
     """One simulation's expansion: evaluate both transition types at the
     selected frontier edge, install the correct child, back up its value."""
-    parent, edge, depth, path_nodes, path_edges = _traverse(tree, cfg, key)
+    parent, edge, depth, path_nodes, path_edges = _traverse(tree, cfg, key, root_action)
     existing_child = tree.children_index[parent, edge]
     # False only when the depth cap stopped traversal on an expanded edge.
     needs_expand = existing_child == UNVISITED
@@ -406,10 +523,13 @@ def _search_single(
     root_logits, root_value = apply_fns.prediction(params.prediction, hidden)
     root_value = _untransform_fn(cfg)(root_value)
 
+    gumbel_root = cfg.root_selection == "gumbel"
     # Root exploration noise: π ← (1-ρ)·π + ρ·Dir(α)
     # (mctx's root noise scheme with the reference's ρ=0.1, α=0.25).
+    # Gumbel root selection replaces Dirichlet noise with per-action Gumbel
+    # draws on the halving scores (the paper's exploration mechanism).
     root_probs = jax.nn.softmax(root_logits / cfg.prior_temperature)
-    if cfg.dirichlet_fraction > 0.0:
+    if cfg.dirichlet_fraction > 0.0 and not gumbel_root:
         noise = jax.random.dirichlet(key, jnp.full((cfg.num_actions,), cfg.dirichlet_alpha))
         root_probs = (1.0 - cfg.dirichlet_fraction) * root_probs + cfg.dirichlet_fraction * noise
     if invalid_actions is not None:
@@ -426,25 +546,43 @@ def _search_single(
         root_value=root_value,
     )
 
-    if cfg.chance_selection == "sample":
-        sim_key = jax.random.fold_in(key, 0x5EED)
-
-        def sim_body(s, tree):
-            return _expand_and_backup(
-                tree, s + 1, params, apply_fns, cfg, jax.random.fold_in(sim_key, s)
-            )
+    if gumbel_root:
+        # One Gumbel draw per search (fixed across simulations — the bracket
+        # is a tournament under ONE noise realization, paper §3).
+        gumbel = (
+            cfg.gumbel_scale
+            * jax.random.gumbel(jax.random.fold_in(key, 0x6B1E), (cfg.num_actions,))
+            if cfg.gumbel_scale > 0.0
+            else jnp.zeros((cfg.num_actions,))
+        )
+        table = jnp.asarray(
+            considered_visits_table(cfg.num_actions, cfg.num_simulations), jnp.int32
+        )
     else:
+        gumbel = table = None
 
-        def sim_body(s, tree):
-            return _expand_and_backup(tree, s + 1, params, apply_fns, cfg)
+    sampled_chance = cfg.chance_selection == "sample"
+    sim_key = jax.random.fold_in(key, 0x5EED) if sampled_chance else None
+
+    def sim_body(s, tree):
+        root_action = (
+            _gumbel_root_action(tree, cfg, gumbel, s, table) if gumbel_root else None
+        )
+        step_key = jax.random.fold_in(sim_key, s) if sampled_chance else None
+        return _expand_and_backup(tree, s + 1, params, apply_fns, cfg, step_key, root_action)
 
     tree = jax.lax.fori_loop(0, cfg.num_simulations, sim_body, tree)
 
     a = cfg.num_actions
     visit_counts = tree_lib.children_visits(tree, ROOT)[:a]
     qvalues = tree_lib.children_qvalues(tree, ROOT)[:a]
-    total = jnp.sum(visit_counts)
-    action_weights = visit_counts.astype(jnp.float32) / jnp.maximum(total, 1)
+    if gumbel_root:
+        # Halving concentrates visits on the bracket winner, so the visit
+        # distribution is NOT the policy — the improved policy is.
+        action_weights = _gumbel_improved_policy(tree, cfg)
+    else:
+        total = jnp.sum(visit_counts)
+        action_weights = visit_counts.astype(jnp.float32) / jnp.maximum(total, 1)
     return PolicyOutput(
         action_weights=action_weights,
         search_value=tree.node_value[ROOT],

@@ -62,11 +62,16 @@ def search_config_from(config: TrainConfig, eval_mode: bool = False) -> SearchCo
     """
     prior_temperature = config.prior_temperature
     pb_c_init = config.pb_c_init
+    # Gumbel root selection is a COLLECTION-search lever: evaluation always
+    # runs PUCT (+ the calibration overrides below), so eval protocols stay
+    # identical across root-selection arms and across rounds.
+    root_selection = config.root_selection
     if eval_mode:
         if config.eval_prior_temperature is not None:
             prior_temperature = config.eval_prior_temperature
         if config.eval_pb_c_init is not None:
             pb_c_init = config.eval_pb_c_init
+        root_selection = "puct"
     return SearchConfig(
         num_simulations=config.num_simulations,
         num_actions=config.action_size,
@@ -77,6 +82,7 @@ def search_config_from(config: TrainConfig, eval_mode: bool = False) -> SearchCo
         pb_c_init=pb_c_init,
         pb_c_base=config.pb_c_base,
         max_depth=config.search_max_depth,
+        root_selection=root_selection,
         chance_selection=config.chance_selection,
         pw_c=config.pw_c,
         pw_alpha=config.pw_alpha,

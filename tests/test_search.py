@@ -439,3 +439,109 @@ class TestValueSpaceUntransform:
         cfg = CFG._replace(discount=1.0)
         out = run_mcts(MOCK_PARAMS, fns, jnp.zeros(16), jax.random.PRNGKey(0), cfg)
         np.testing.assert_allclose(float(out.search_value), h, rtol=1e-4)
+
+
+class TestGumbelRoot:
+    """Gumbel-MuZero sequential halving at the root (root_selection="gumbel",
+    Danihelka et al. ICLR 2022): visit schedule, improved-policy output,
+    legality, and noise semantics. mctx is unavailable here; the schedule is
+    pinned against the paper's construction by hand."""
+
+    GCFG = CFG._replace(root_selection="gumbel", num_simulations=16)
+
+    def test_considered_visits_schedule_m4_n16(self):
+        from simulate_2048_tpu.search.mcts import considered_visits_table
+
+        table = considered_visits_table(4, 16)
+        # m=4, n=16: log2(4)=2 phases. Phase 1: 16/(2*4)=2 sweeps of all 4
+        # actions (counts 0 then 1); phase 2: 16/(2*2)=4 sweeps of the top 2
+        # (counts 2,3,4,5).
+        assert table[4] == (0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5)
+        # m<=1 degenerates to revisiting the single candidate every sim.
+        assert table[1] == tuple(range(16))
+        assert table[0] == tuple(range(16))
+        # Every row spends exactly n simulations.
+        assert all(len(row) == 16 for row in table)
+
+    def test_all_legal_actions_probed_then_halved(self):
+        # The first phase visits every legal action before any halving: with
+        # a uniform mock model and 16 sims, all 4 actions get >= 2 visits
+        # (two full sweeps) and the total is exactly num_simulations.
+        out = run_mcts(
+            MOCK_PARAMS, mock_apply_fns(), jnp.zeros(16), jax.random.PRNGKey(0), self.GCFG
+        )
+        counts = np.asarray(out.visit_counts)
+        assert counts.sum() == 16
+        assert counts.min() >= 2
+
+    def test_halving_concentrates_on_best_action(self):
+        fns = mock_apply_fns(q_per_action=(0.0, 1.0, 0.0, 0.0))
+        out = run_mcts(
+            MOCK_PARAMS,
+            fns,
+            jnp.zeros(16),
+            jax.random.PRNGKey(0),
+            self.GCFG._replace(gumbel_scale=0.0),
+        )
+        counts = np.asarray(out.visit_counts)
+        # The final halving bracket (2 survivors, round-robined 4 extra
+        # sweeps each) must contain action 1, with the eliminated pair left
+        # at their phase-1 counts.
+        assert counts[1] == counts.max()
+        assert (counts == counts.max()).sum() == 2
+        assert counts.min() < counts.max()
+        # The WINNER is decided by the improved policy, not visit counts.
+        assert int(np.argmax(np.asarray(out.action_weights))) == 1
+
+    def test_improved_policy_is_the_action_weights(self):
+        out = run_mcts(
+            MOCK_PARAMS, mock_apply_fns(), jnp.zeros(16), jax.random.PRNGKey(3), self.GCFG
+        )
+        w = np.asarray(out.action_weights)
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
+        # Uniform logits + equal Q => (near-)uniform improved policy, even
+        # though halving left the visit counts concentrated.
+        assert w.std() < 0.05
+
+    def test_illegal_actions_excluded_everywhere(self):
+        invalid = jnp.array([False, True, False, True])
+        out = run_mcts(
+            MOCK_PARAMS,
+            mock_apply_fns(),
+            jnp.zeros(16),
+            jax.random.PRNGKey(0),
+            self.GCFG,
+            invalid,
+        )
+        counts = np.asarray(out.visit_counts)
+        weights = np.asarray(out.action_weights)
+        assert counts[1] == 0 and counts[3] == 0
+        assert weights[1] == 0.0 and weights[3] == 0.0
+        np.testing.assert_allclose(weights.sum(), 1.0, rtol=1e-5)
+
+    def test_gumbel_noise_varies_and_scale_zero_is_deterministic(self):
+        run = lambda key, scale: run_mcts(
+            MOCK_PARAMS,
+            mock_apply_fns(q_per_action=(0.3, 0.0, 0.2, 0.1)),
+            jnp.zeros(16),
+            key,
+            self.GCFG._replace(gumbel_scale=scale),
+        )
+        noisy = [np.asarray(run(jax.random.PRNGKey(k), 1.0).visit_counts) for k in range(6)]
+        assert any(not np.array_equal(noisy[0], v) for v in noisy[1:])
+        det = [np.asarray(run(jax.random.PRNGKey(k), 0.0).visit_counts) for k in range(3)]
+        assert all(np.array_equal(det[0], v) for v in det[1:])
+
+    def test_eval_mode_forces_puct(self):
+        from simulate_2048_tpu.training.config import TrainConfig
+        from simulate_2048_tpu.training.self_play import search_config_from
+
+        cfg = TrainConfig(root_selection="gumbel")
+        assert search_config_from(cfg, eval_mode=False).root_selection == "gumbel"
+        assert search_config_from(cfg, eval_mode=True).root_selection == "puct"
+
+    def test_gumbel_rejects_pallas_backend(self):
+        from simulate_2048_tpu.training.config import TrainConfig
+
+        with pytest.raises(ValueError, match="PUCT root selection"):
+            TrainConfig(root_selection="gumbel", search_backend="pallas")
