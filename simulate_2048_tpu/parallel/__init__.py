@@ -8,13 +8,18 @@ from simulate_2048_tpu.parallel.mesh import (
     replicated_sharding,
     shard_pytree_batch,
 )
-from simulate_2048_tpu.parallel.dp import make_dp_train_step, make_sharded_rollout
+from simulate_2048_tpu.parallel.dp import (
+    make_dp_train_step,
+    make_dp_train_superstep,
+    make_sharded_rollout,
+)
 
 __all__ = [
     "ActorClient",
     "LearnerServer",
     "batch_sharding",
     "make_dp_train_step",
+    "make_dp_train_superstep",
     "make_mesh",
     "make_sharded_rollout",
     "replicated_sharding",
