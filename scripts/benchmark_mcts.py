@@ -29,6 +29,19 @@ def main() -> None:
         help="tree-depth cap (None = unbounded; presets use 32 via search_max_depth)",
     )
     parser.add_argument(
+        "--hidden",
+        type=int,
+        default=None,
+        help="override the preset's hidden size (e.g. 512 to probe the "
+        "HBM-streaming kernel domain)",
+    )
+    parser.add_argument(
+        "--blocks",
+        type=int,
+        default=None,
+        help="override the preset's residual block count",
+    )
+    parser.add_argument(
         "--pallas",
         action="store_true",
         help="use the whole-search VMEM kernel (ops/pallas_search.py) instead "
@@ -67,6 +80,14 @@ def main() -> None:
     from simulate_2048_tpu.utils.profiling import time_fn
 
     cfg = {"tiny": tiny_config, "small": small_config, "full": default_config}[args.mode]()
+    if args.hidden is not None or args.blocks is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            hidden_size=args.hidden or cfg.hidden_size,
+            num_residual_blocks=args.blocks or cfg.num_residual_blocks,
+        )
     print(f"devices={jax.devices()} boards={args.boards} sims={args.sims} "
           f"hidden={cfg.hidden_size}x{cfg.num_residual_blocks}", file=sys.stderr)
 
@@ -133,6 +154,8 @@ def main() -> None:
     searches_per_s = args.boards / (stats["best_ms"] / 1e3)
     result = {
         "boards": args.boards,
+        "hidden": cfg.hidden_size,
+        "blocks": cfg.num_residual_blocks,
         "num_simulations": args.sims,
         "search_ms_per_batch": stats["best_ms"],
         "compile_ms": stats["compile_plus_first_ms"],
