@@ -65,6 +65,13 @@ class TrainConfig:
     # searches with PUCT + the eval calibration overrides, so eval curves
     # stay comparable across arms (and across rounds).
     root_selection: str = "puct"
+    # Gumbel root σ(q̂) = (c_visit + max N)·c_scale·q̂ (mctx defaults). The
+    # round-4 A/Bs measured the default c_scale=0.1 as too Q-dominated for
+    # from-scratch collection on 2048 (σ ≈ 6 nats at init under min-max
+    # completion, docs/project.md) — a gentler scale is the first knob to
+    # turn when revisiting gumbel collection.
+    gumbel_c_visit: float = 50.0
+    gumbel_c_scale: float = 0.1
     # EVAL-ONLY search calibration overrides (None = use the training values).
     # The round-2 sweep found prior_temperature=4 + pb_c_init=0.5 lifts a
     # trained checkpoint ~+750 eval — but the SAME knobs at collection time

@@ -83,6 +83,8 @@ def search_config_from(config: TrainConfig, eval_mode: bool = False) -> SearchCo
         pb_c_base=config.pb_c_base,
         max_depth=config.search_max_depth,
         root_selection=root_selection,
+        gumbel_c_visit=config.gumbel_c_visit,
+        gumbel_c_scale=config.gumbel_c_scale,
         chance_selection=config.chance_selection,
         pw_c=config.pw_c,
         pw_alpha=config.pw_alpha,

@@ -687,3 +687,40 @@ class TestDeepEval:
         best_mgr = CheckpointManager(os.path.join(ckdir, "best"))
         assert best_mgr.latest_step() == best["step"]
         assert load_train_config(os.path.join(ckdir, "best")) == cfg
+
+
+class TestApplyOverrides:
+    """Typed --set coercion shared by the train/eval CLIs (ADVICE r3)."""
+
+    def test_coerces_against_declared_types(self):
+        from simulate_2048_tpu.training.config import apply_overrides
+
+        cfg = apply_overrides(
+            tiny_config(),
+            [
+                "use_bfloat16=true",  # lowercase bool string -> bool
+                "lr_decay_steps=60000",  # int | None
+                "eval_prior_temperature=4",  # int literal -> float field
+                "reanalyze_interval=None",
+                "chance_target_mode=oracle",  # bare string
+                "temperature_schedule=[[0,1.0],[5000,0.5]]",  # list -> tuple
+            ],
+        )
+        assert cfg.use_bfloat16 is True
+        assert cfg.lr_decay_steps == 60000
+        assert cfg.eval_prior_temperature == 4.0
+        assert isinstance(cfg.eval_prior_temperature, float)
+        assert cfg.reanalyze_interval is None
+        assert cfg.temperature_schedule == ((0, 1.0), (5000, 0.5))
+
+    def test_uncoercible_values_error_with_field_name(self):
+        from simulate_2048_tpu.training.config import apply_overrides
+
+        for bad, frag in [
+            ("use_bfloat16=maybe", "use_bfloat16"),
+            ("lr_decay_steps=abc", "lr_decay_steps"),
+            ("no_such_field=3", "no_such_field"),
+            ("batch_size=None", "batch_size"),
+        ]:
+            with pytest.raises(ValueError, match=frag):
+                apply_overrides(tiny_config(), [bad])
