@@ -79,3 +79,42 @@ def test_dp_train_step_matches_single_device(mesh):
     np.testing.assert_allclose(np.asarray(prio_a), np.asarray(prio_b), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(new_a.params), jax.tree.leaves(new_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_dp_train_superstep_matches_single_device(mesh):
+    """The fused DP superstep (round 4: a mesh no longer forces per-step
+    dispatch) must agree with the single-device fused path: same sampling
+    keys => same batches => same final state/losses up to cross-shard
+    reduction order."""
+    from simulate_2048_tpu.parallel import make_dp_train_superstep
+    from simulate_2048_tpu.training.learner import train_superstep
+
+    chunk = 3
+    state, network = create_train_state(jax.random.PRNGKey(0), CFG)
+    optimizer = create_optimizer(CFG)
+    buffer = add_trajectories(init_buffer(CFG), make_trajectories(32, 20, CFG))
+    key = jax.random.PRNGKey(7)
+
+    state_a = jax.tree.map(jnp.copy, state)
+    buf_a = jax.tree.map(jnp.copy, buffer)
+    new_a, buf_a, loss_a = train_superstep(
+        state_a, buf_a, key, network.apply_fns, CFG, optimizer, chunk
+    )
+
+    with mesh:
+        superstep = make_dp_train_superstep(network.apply_fns, CFG, optimizer, mesh, chunk)
+        new_b, buf_b, loss_b = superstep(jax.tree.map(jnp.copy, state), buffer, key)
+
+    assert int(new_a.step) == int(new_b.step) == chunk
+    np.testing.assert_allclose(
+        float(loss_a.total_loss), float(loss_b.total_loss), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(new_a.params), jax.tree.leaves(new_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+    # Priority refreshes touched the same rows.
+    np.testing.assert_allclose(
+        np.asarray(buf_a.step_priorities, np.float32),
+        np.asarray(buf_b.step_priorities, np.float32),
+        rtol=2e-2,
+        atol=1e-3,
+    )
