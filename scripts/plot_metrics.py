@@ -25,7 +25,8 @@ def load(path: Path) -> tuple[list[dict], list[dict]]:
             if not line:
                 continue
             d = json.loads(line)
-            (eval_rows if any(k.startswith("eval/") for k in d) else train_rows).append(d)
+            is_eval = any(k.startswith(("eval/", "deep_eval/")) for k in d)
+            (eval_rows if is_eval else train_rows).append(d)
     return train_rows, eval_rows
 
 
@@ -83,6 +84,15 @@ def main() -> None:
     xs2, ys2 = series(eval_rows, "eval/max_reward")
     if xs2:
         ax.plot(xs2, ys2, alpha=0.4, label="max")
+    # Deep evals (n=128, sem ~150): the decision-point series champion
+    # selection runs on — drawn over the noisy inline curve.
+    dx, dy = series(eval_rows, "deep_eval/mean_reward")
+    if dx:
+        _, dsem = series(eval_rows, "deep_eval/sem_reward")
+        ax.errorbar(
+            dx, dy, yerr=[1.96 * s for s in dsem], color="tab:red", marker="s",
+            ms=4, lw=1.5, capsize=3, label="deep eval (n=128)",
+        )
     ax.legend(fontsize=7)
     ax.set_title("eval reward (greedy)")
 
