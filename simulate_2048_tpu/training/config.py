@@ -440,8 +440,11 @@ def default_config() -> TrainConfig:
 
     ``search_backend="auto"``: on TPU the flagship's lane-aligned batches
     (256 parallel games = 2×128 lanes) run the whole-search Pallas kernel
-    with weights VMEM-resident — measured 133.9 ms vs 164.1 ms XLA at
-    B=1024×100 sims (v5e-1) with bitwise-identical visit counts in f32.
+    with weights VMEM-resident — measured 40.7 ms vs 64.9 ms XLA (1.59×) at
+    the flagship's actual B=256×100-sim self-play batch, 133.9 vs 164.1 ms
+    (1.23×) at B=1024 (v5e-1; bitwise-identical visit counts in f32), so
+    the auto dispatch engages exactly where it wins — no batch gate needed
+    (docs/project.md round-4 measurements).
     """
     return TrainConfig(use_bfloat16=True, search_backend="auto")
 
