@@ -48,6 +48,19 @@ def main() -> None:
         "of the XLA search",
     )
     parser.add_argument(
+        "--value-bins",
+        type=int,
+        default=1,
+        help="categorical value/Q head bins (1 = scalar heads; the champion "
+        "recipe uses 256 — the kernel takes the expectation in VMEM)",
+    )
+    parser.add_argument(
+        "--reward-bins",
+        type=int,
+        default=1,
+        help="categorical reward head bins (champion recipe: 128)",
+    )
+    parser.add_argument(
         "--weight-dtype",
         choices=["float32", "bfloat16"],
         default="float32",
@@ -96,12 +109,16 @@ def main() -> None:
         hidden_size=cfg.hidden_size,
         num_blocks=cfg.num_residual_blocks,
         codebook_size=cfg.codebook_size,
+        value_bins=args.value_bins,
+        reward_bins=args.reward_bins,
     )
     search_cfg = SearchConfig(
         num_simulations=args.sims,
         codebook_size=cfg.codebook_size,
         discount=cfg.discount,
         max_depth=args.max_depth,
+        value_bins=args.value_bins,
+        reward_bins=args.reward_bins,
     )
 
     state = envlib.reset_batch(0, args.boards)
@@ -128,7 +145,8 @@ def main() -> None:
         k_width = max(cfg.action_size, cfg.codebook_size)
         packed = jax.jit(
             lambda p: pack_search_params(
-                p, cfg.num_residual_blocks, k_width, wdtype, stream_chunk
+                p, cfg.num_residual_blocks, k_width, wdtype, stream_chunk,
+                value_bins=args.value_bins, reward_bins=args.reward_bins,
             )
         )(network.params)
         run = jax.jit(

@@ -12,9 +12,14 @@ root statistics.
 Scope (the training/eval default — ``SearchConfig`` with
 ``chance_selection="argmax"``, ``pw_c=None``): PUCT at decision nodes,
 deterministic p/(1+N) at chance nodes, depth cap, min-max Q normalization,
-raw-space value untransform. Dirichlet noise, legality masking and the root
-h/f evaluation happen OUTSIDE (they are one full-batch MXU matmul — already
-optimal); the kernel receives root hidden states, noised priors and values.
+raw-space value untransform, and BOTH head families — scalar MSE heads
+(single packed weight columns) and categorical two-hot heads
+(``value_bins``/``reward_bins`` > 1: the full ``(H, bins)`` head matrices
+are packed and each expansion takes the h-space expectation in VMEM — one
+extra (bins, G) matmul + softmax·support dot per head, VERDICT r4 weak #1).
+Dirichlet noise, legality masking and the root h/f evaluation happen OUTSIDE
+(they are one full-batch MXU matmul — already optimal); the kernel receives
+root hidden states, noised priors and values.
 
 Layout (see /opt/skills/guides/pallas_guide.md):
 - G = 128 searches per kernel instance, always the LANE (minor) dimension;
@@ -95,23 +100,48 @@ def _tower_arrays(tw: dict, num_blocks: int) -> tuple[list, list]:
     return hh, vecs
 
 
+def _cat_layout(value_bins: int, reward_bins: int) -> tuple[int, int, int, int]:
+    """Column layout of the packed categorical-head tensor.
+
+    Returns ``(v_off, q_off, r_off, cb)``: offsets of the f-value, ψ-q and
+    g-reward head segments inside the ``(H, CB)`` pack, and the padded total
+    width CB (multiple of 8 sublanes, min 8 so scalar configs still pass a
+    well-tiled dummy operand). Heads with ``bins == 1`` stay in the scalar
+    pack (``scal``) and get no segment here.
+    """
+    v_off, q_off = 0, value_bins if value_bins > 1 else 0
+    r_off = 2 * value_bins if value_bins > 1 else 0
+    cols = r_off + (reward_bins if reward_bins > 1 else 0)
+    cb = max(8, -(-cols // 8) * 8)
+    return v_off, q_off, r_off, cb
+
+
 def pack_search_params(
     params: NetworkParams,
     num_blocks: int,
     codebook_size: int,
     weight_dtype=jnp.float32,
     stream_chunk: int | None = None,
+    value_bins: int = 1,
+    reward_bins: int = 1,
 ):
     """Stack the f/φ/ψ/g parameters into dense tensors for the kernel.
 
     Returns ``(hh (n_hh, H, H), vecs (H, n_vec), win (2, K, H),
-    wide (2, H, K), wide_b (K, 2), scal (H, 8), scal_b (1, 8))``. The big
-    matmul operands (``hh``/``win``/``wide``) are stored in ``weight_dtype``
+    wide (2, H, K), wide_b (K, 2), scal (H, 8), scal_b (1, 8),
+    cat (H, CB), cat_b (CB, 1))``. The big matmul operands
+    (``hh``/``win``/``wide``/``cat``) are stored in ``weight_dtype``
     (bfloat16 halves their VMEM and keeps the MXU in its native dtype);
     LayerNorm/bias vectors and the scalar heads stay float32 (negligible
     size, accumulation-critical). Packing order must match ``_make_kernel``'s
     offsets; both derive from ``num_blocks`` alone so they cannot drift
     independently.
+
+    ``value_bins``/``reward_bins`` describe the HEAD SHAPES (must match the
+    networks ``params`` came from): heads with ``bins == 1`` pack their
+    single weight column into ``scal``; categorical heads (> 1) pack their
+    full ``(H, bins)`` matrix into ``cat`` at :func:`_cat_layout` offsets,
+    and the kernel reduces them to scalar expectations in VMEM.
 
     With ``stream_chunk`` set (the HBM-streaming kernel for configs whose
     weights don't fit VMEM, e.g. the paper-full H=256/NB=10), ``hh`` is
@@ -166,15 +196,30 @@ def pack_search_params(
         ]
     ).T  # (K, 2)
 
-    # scalar heads: [f value, ψ q, g reward], padded to 8 output columns
+    # scalar heads: [f value, ψ q, g reward], padded to 8 output columns;
+    # categorical heads go in the cat pack instead (their scal column stays 0)
     scal = jnp.zeros((h, 8))
-    scal = scal.at[:, 0].set(f["value"]["kernel"][:, 0])
-    scal = scal.at[:, 1].set(psi["q_value"]["kernel"][:, 0])
-    scal = scal.at[:, 2].set(g["reward"]["kernel"][:, 0])
     scal_b = jnp.zeros((1, 8))
-    scal_b = scal_b.at[0, 0].set(f["value"]["bias"][0])
-    scal_b = scal_b.at[0, 1].set(psi["q_value"]["bias"][0])
-    scal_b = scal_b.at[0, 2].set(g["reward"]["bias"][0])
+    if value_bins == 1:
+        scal = scal.at[:, 0].set(f["value"]["kernel"][:, 0])
+        scal = scal.at[:, 1].set(psi["q_value"]["kernel"][:, 0])
+        scal_b = scal_b.at[0, 0].set(f["value"]["bias"][0])
+        scal_b = scal_b.at[0, 1].set(psi["q_value"]["bias"][0])
+    if reward_bins == 1:
+        scal = scal.at[:, 2].set(g["reward"]["kernel"][:, 0])
+        scal_b = scal_b.at[0, 2].set(g["reward"]["bias"][0])
+
+    v_off, q_off, r_off, cb = _cat_layout(value_bins, reward_bins)
+    cat = jnp.zeros((h, cb))
+    cat_b = jnp.zeros((cb, 1))
+    if value_bins > 1:
+        cat = cat.at[:, v_off : v_off + value_bins].set(f["value"]["kernel"])
+        cat = cat.at[:, q_off : q_off + value_bins].set(psi["q_value"]["kernel"])
+        cat_b = cat_b.at[v_off : v_off + value_bins, 0].set(f["value"]["bias"])
+        cat_b = cat_b.at[q_off : q_off + value_bins, 0].set(psi["q_value"]["bias"])
+    if reward_bins > 1:
+        cat = cat.at[:, r_off : r_off + reward_bins].set(g["reward"]["kernel"])
+        cat_b = cat_b.at[r_off : r_off + reward_bins, 0].set(g["reward"]["bias"])
 
     if stream_chunk is not None:
         tower_hh = 1 + 2 * num_blocks
@@ -191,6 +236,8 @@ def pack_search_params(
         wide_b.astype(jnp.float32),
         scal.astype(jnp.float32),
         scal_b.astype(jnp.float32),
+        cat.astype(weight_dtype),
+        cat_b.astype(jnp.float32),
     )
 
 
@@ -217,6 +264,8 @@ def _make_kernel(
     eps = cfg.value_transform_epsilon
     gamma = cfg.discount
 
+    vb, rb = cfg.value_bins, cfg.reward_bins
+    v_off, q_off, r_off, _ = _cat_layout(vb, rb)
     tower_hh = 1 + 2 * nb
     tower_vec = 3 + 6 * nb
     # offsets into the packed tensors (must mirror pack_search_params)
@@ -256,6 +305,8 @@ def _make_kernel(
         wide_b_ref,  # (K, 2)
         scal_ref,  # (H, 8)
         scal_b_ref,  # (1, 8)
+        cat_ref,  # (H, CB) categorical head matrices (dummy when all bins=1)
+        cat_b_ref,  # (CB, 1)
         visits_ref,  # out (A, G)
         qval_ref,  # out (A, G)
         rootv_ref,  # out (1, G)
@@ -359,6 +410,23 @@ def _make_kernel(
                 w, x.astype(w.dtype), dn_in, preferred_element_type=jnp.float32
             )
             return y + b
+
+        def cat_expect(x, off, bins, support_max):
+            # Categorical head → h-space scalar expectation, all in VMEM:
+            # logits (bins, G) = Wᵀx + b, then Σ softmax(logits)·atoms where
+            # atoms = iota·step (ops/distributional.py support_atoms — the
+            # linspace is materialized from iota, no extra operand). The
+            # normalizing division happens once on the (1, G) sums.
+            logits = head(cat_ref[:, pl.ds(off, bins)], x, cat_b_ref[pl.ds(off, bins)])
+            m = jnp.max(logits, axis=0, keepdims=True)
+            e = jnp.exp(logits - m)
+            step = support_max / (bins - 1)
+            atoms = jax.lax.broadcasted_iota(jnp.int32, (bins, g), 0).astype(
+                jnp.float32
+            ) * jnp.float32(step)
+            num = jnp.sum(e * atoms, axis=0, keepdims=True)
+            den = jnp.sum(e, axis=0, keepdims=True)
+            return num / den  # (1, G)
 
         # ---- init tree (scratch persists across grid steps: zero everything)
         emb[:] = jnp.zeros((n, h, g), emb.dtype)
@@ -465,9 +533,12 @@ def _make_kernel(
             x = tower(fuse_a, PHI_HH, PHI_V)
             afterstate = dense(x, PHI_HEAD_HH, PHI_HEAD_V)
             y = tower(afterstate, PSI_HH, PSI_V)
-            q_value = untf(
-                head(scal_ref[:, 1:2], y, scal_b_ref[pl.ds(0, 1), pl.ds(1, 1)])
-            )  # (1, G)
+            if vb > 1:
+                q_value = untf(cat_expect(y, q_off, vb, cfg.value_support_max))
+            else:
+                q_value = untf(
+                    head(scal_ref[:, 1:2], y, scal_b_ref[pl.ds(0, 1), pl.ds(1, 1)])
+                )  # (1, G)
             chance_logits = head(wide_ref[1], y, wide_b_ref[:, pl.ds(1, 1)])  # (K, G)
 
             # g then f (chance parent → decision child)
@@ -480,13 +551,19 @@ def _make_kernel(
             )
             x = tower(fuse_c, G_HH, G_V)
             hidden_new = dense(x, G_HEAD_HH, G_HEAD_V)
-            reward = untf(
-                head(scal_ref[:, 2:3], x, scal_b_ref[pl.ds(0, 1), pl.ds(2, 1)])
-            )
+            if rb > 1:
+                reward = untf(cat_expect(x, r_off, rb, cfg.reward_support_max))
+            else:
+                reward = untf(
+                    head(scal_ref[:, 2:3], x, scal_b_ref[pl.ds(0, 1), pl.ds(2, 1)])
+                )
             z = tower(hidden_new, F_HH, F_V)
-            value = untf(
-                head(scal_ref[:, 0:1], z, scal_b_ref[pl.ds(0, 1), pl.ds(0, 1)])
-            )
+            if vb > 1:
+                value = untf(cat_expect(z, v_off, vb, cfg.value_support_max))
+            else:
+                value = untf(
+                    head(scal_ref[:, 0:1], z, scal_b_ref[pl.ds(0, 1), pl.ds(0, 1)])
+                )
             action_logits = head(wide_ref[0], z, wide_b_ref[:, pl.ds(0, 1)])  # (K, G)
 
             def pad_softmax(logits, width):
@@ -638,7 +715,7 @@ def _run_packed(
     visits, qvals, rootv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[lanes(h), lanes(k), lanes(1), hh_spec] + [whole() for _ in range(6)],
+        in_specs=[lanes(h), lanes(k), lanes(1), hh_spec] + [whole() for _ in range(8)],
         out_specs=[lanes(cfg.num_actions), lanes(cfg.num_actions), lanes(1)],
         out_shape=[
             jax.ShapeDtypeStruct((cfg.num_actions, b), jnp.float32),
@@ -739,7 +816,15 @@ def run_mcts_pallas(
     probs_padded = jnp.concatenate([root_probs, pad], axis=-1)
 
     if packed is None:
-        packed = pack_search_params(params, num_blocks, k, weight_dtype, stream_chunk)
+        packed = pack_search_params(
+            params,
+            num_blocks,
+            k,
+            weight_dtype,
+            stream_chunk,
+            value_bins=config.value_bins,
+            reward_bins=config.reward_bins,
+        )
 
     visits, qvals, rootv = _run_packed(
         hidden.T.astype(jnp.float32),
@@ -816,6 +901,8 @@ def search_vmem_bytes(
     tower_vec = 3 + 6 * num_blocks
     n_hh = 4 * tower_hh + 4  # f/φ/ψ/g towers + φ fuse/head + g fuse/head
     n_vec = 4 * tower_vec + 4
+    _, _, _, cb = _cat_layout(config.value_bins, config.reward_bins)
+    max_bins = max(config.value_bins, config.reward_bins, 1)
 
     tables = (
         n * h * g * esize  # emb
@@ -835,6 +922,8 @@ def search_vmem_bytes(
         + 2 * k * h * wsize * 2  # win + wide
         + k * 2 * 4  # wide_b
         + h * 8 * 4 + 8 * 4  # scal + scal_b
+        + h * cb * wsize + cb * 4  # cat + cat_b
+        + max_bins * g * 4  # (bins, G) head logits staged per expansion
     )
     blocks = (h + k + 1) * g * 4 + (2 * a + 1) * g * 4  # in/out lanes
     return tables + weights + blocks

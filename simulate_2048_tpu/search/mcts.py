@@ -117,6 +117,18 @@ class SearchConfig(NamedTuple):
     # ``TrainConfig.search_untransform_values``) collapses the learned value
     # horizon to ~td_steps of raw reward (docs/project.md round-2 analysis).
     value_transform_epsilon: float | None = None
+    # Head SHAPES of the networks driving this search (used by the Pallas
+    # whole-search kernel, which packs raw head weight matrices and must
+    # reduce categorical heads to their scalar expectation in-kernel — one
+    # (bins, G) softmax·support dot per head, ``ops/pallas_search.py``). The
+    # XLA search is oblivious: it consumes the scalar-facing ``apply_fns``
+    # where the expectation already happened (``models/network.py:139-157``).
+    # 1 = scalar MSE head (reference-faithful); >1 = categorical two-hot over
+    # an h-space support [0, *_support_max] (``ops/distributional.py``).
+    value_bins: int = 1
+    reward_bins: int = 1
+    value_support_max: float = 320.0
+    reward_support_max: float = 100.0
 
 
 def considered_visits_table(max_considered: int, num_simulations: int) -> tuple:

@@ -92,6 +92,10 @@ def search_config_from(config: TrainConfig, eval_mode: bool = False) -> SearchCo
         value_transform_epsilon=(
             config.value_epsilon if config.search_untransform_values else None
         ),
+        value_bins=config.value_bins,
+        reward_bins=config.reward_bins,
+        value_support_max=config.value_support_max,
+        reward_support_max=config.reward_support_max,
     )
 
 
@@ -143,10 +147,7 @@ def play_segment(
     # per parameter version), outside the scan.
     packed = None
     use_pallas = False
-    # Categorical heads (value_bins/reward_bins > 1) change the head weight
-    # shapes the kernel packs — config validation rejects backend='pallas',
-    # and 'auto' falls through to XLA here.
-    if config.search_backend != "xla" and config.value_bins == 1 and config.reward_bins == 1:
+    if config.search_backend != "xla":
         from simulate_2048_tpu.ops import pallas_search
 
         wdtype = (
@@ -175,6 +176,8 @@ def play_segment(
                 max(config.action_size, config.codebook_size),
                 wdtype,
                 stream_chunk,
+                value_bins=config.value_bins,
+                reward_bins=config.reward_bins,
             )
 
     state = env_state
@@ -402,9 +405,7 @@ def _evaluate_rollout(
     # eval batches on TPU; the 32-game default stays on the XLA path).
     packed = None
     use_pallas = False
-    # Same categorical-head gate as play_segment: the kernel packs scalar
-    # head columns only.
-    if config.search_backend != "xla" and config.value_bins == 1 and config.reward_bins == 1:
+    if config.search_backend != "xla":
         from simulate_2048_tpu.ops import pallas_search
 
         wdtype = (
@@ -424,6 +425,8 @@ def _evaluate_rollout(
                 max(config.action_size, config.codebook_size),
                 wdtype,
                 stream_chunk,
+                value_bins=config.value_bins,
+                reward_bins=config.reward_bins,
             )
 
     def cond(carry):

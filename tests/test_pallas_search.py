@@ -278,3 +278,165 @@ class TestSelfPlayWiring:
                 net.params, net.apply_fns, jax.random.PRNGKey(1),
                 jnp.float32(1.0), cfg, num_games=32, num_steps=2,
             )
+
+
+class TestCategoricalHeads:
+    """Categorical two-hot heads in-kernel (VERDICT r4 weak #1): the kernel
+    packs the full (H, bins) head matrices and reduces them to their h-space
+    expectation in VMEM. The XLA search consumes the scalar-facing apply_fns
+    (expectation inside, models/network.py:139-157), so f32 kernel visit
+    counts must match the XLA search bit-for-bit, exactly as for scalar
+    heads."""
+
+    VB, RB = 16, 8
+
+    @staticmethod
+    def _perturb_heads(params):
+        """De-degenerate the categorical heads' atom-0 zero-kernel init.
+
+        At init every categorical expectation is the SAME constant for every
+        input (kernel_init=zeros — models/muzero.py:_categorical_head), so
+        the tree's min-max Q normalization divides ~1e-8 float noise by its
+        1e-8 floor and the PUCT argmax becomes a chaotic tie-break that
+        amplifies kernel-vs-XLA reduction-order differences. Real training
+        leaves this regime after one gradient step; the equivalence tests
+        must too, or they compare tie-breaking, not search semantics.
+        """
+        pr = jax.device_get(params)
+        unwrap = lambda q: q["params"] if "params" in q else q
+        ks = jax.random.split(jax.random.PRNGKey(99), 3)
+        for tree, name, k in (
+            (unwrap(pr.prediction), "value", ks[0]),
+            (unwrap(pr.afterstate_prediction), "q_value", ks[1]),
+            (unwrap(pr.dynamics), "reward", ks[2]),
+        ):
+            if tree[name]["kernel"].ndim == 2 and tree[name]["kernel"].shape[-1] > 1:
+                tree[name]["kernel"] = tree[name]["kernel"] + 0.05 * jax.random.normal(
+                    k, tree[name]["kernel"].shape
+                )
+        return pr
+
+    @pytest.fixture(scope="class")
+    def cat_net(self):
+        net = create_network(
+            jax.random.PRNGKey(2), hidden_size=HIDDEN, num_blocks=BLOCKS,
+            value_bins=self.VB, reward_bins=self.RB,
+        )
+        return net._replace(params=self._perturb_heads(net.params))
+
+    @property
+    def cat_cfg(self):
+        return CFG._replace(value_bins=self.VB, reward_bins=self.RB)
+
+    def test_matches_xla_search(self, cat_net):
+        obs, keys = make_inputs(BLOCK_G, seed=11)
+        ref = batched_run_mcts(
+            cat_net.params, cat_net.apply_fns, obs, keys, self.cat_cfg
+        )
+        out = run_mcts_pallas(
+            cat_net.params, cat_net.apply_fns, obs, keys, self.cat_cfg,
+            num_blocks=BLOCKS, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.visit_counts), np.asarray(ref.visit_counts)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.search_value), np.asarray(ref.search_value),
+            rtol=1e-3, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.qvalues), np.asarray(ref.qvalues), rtol=1e-3, atol=1e-4
+        )
+
+    def test_mixed_heads_match_xla(self):
+        """value categorical, reward scalar — each head picks its pack."""
+        net = create_network(
+            jax.random.PRNGKey(4), hidden_size=HIDDEN, num_blocks=BLOCKS,
+            value_bins=self.VB, reward_bins=1,
+        )
+        net = net._replace(params=self._perturb_heads(net.params))
+        cfg = CFG._replace(value_bins=self.VB, reward_bins=1)
+        obs, keys = make_inputs(BLOCK_G, seed=12)
+        ref = batched_run_mcts(net.params, net.apply_fns, obs, keys, cfg)
+        out = run_mcts_pallas(
+            net.params, net.apply_fns, obs, keys, cfg,
+            num_blocks=BLOCKS, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.visit_counts), np.asarray(ref.visit_counts)
+        )
+
+    def test_stream_matches_resident(self, cat_net):
+        """HBM weight streaming composes with categorical heads (the cat
+        pack stays VMEM-resident; only hh streams)."""
+        obs, keys = make_inputs(BLOCK_G, seed=13)
+        res = run_mcts_pallas(
+            cat_net.params, cat_net.apply_fns, obs, keys, self.cat_cfg,
+            num_blocks=BLOCKS, interpret=True,
+        )
+        stream = run_mcts_pallas(
+            cat_net.params, cat_net.apply_fns, obs, keys, self.cat_cfg,
+            num_blocks=BLOCKS, interpret=True, stream_chunk=2,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stream.visit_counts), np.asarray(res.visit_counts)
+        )
+
+    def test_bf16_valid(self, cat_net):
+        obs, keys = make_inputs(BLOCK_G, seed=14)
+        out = run_mcts_pallas(
+            cat_net.params, cat_net.apply_fns, obs, keys, self.cat_cfg,
+            num_blocks=BLOCKS, interpret=True, weight_dtype=jnp.bfloat16,
+        )
+        v = np.asarray(out.visit_counts)
+        assert v.sum(-1).min() == self.cat_cfg.num_simulations
+        assert np.isfinite(np.asarray(out.search_value)).all()
+
+    def test_plan_admits_champion_recipe(self):
+        """The champion config (small preset + 256/128 bins) must plan
+        RESIDENT — the auto dispatch gate the champion actually runs
+        through (self_play.py)."""
+        from simulate_2048_tpu.ops.pallas_search import pallas_search_plan
+
+        champ = SearchConfig(
+            num_simulations=50, max_depth=32, value_bins=256, reward_bins=128
+        )
+        assert pallas_search_plan(champ, 128, 5, 256) == 0
+        assert pallas_search_plan(champ, 128, 5, 256, jnp.bfloat16) == 0
+
+    def test_self_play_dispatch_categorical(self):
+        """search_backend='pallas' with categorical bins replays the XLA
+        backend's games exactly (gates removed end-to-end)."""
+        from dataclasses import replace
+
+        from simulate_2048_tpu.training.config import tiny_config
+        from simulate_2048_tpu.training.self_play import play_games
+
+        base = replace(
+            tiny_config(),
+            hidden_size=16,
+            num_residual_blocks=1,
+            num_simulations=4,
+            search_max_depth=4,
+            value_bins=self.VB,
+            reward_bins=self.RB,
+        )
+        net = create_network(
+            jax.random.PRNGKey(0), hidden_size=16, num_blocks=1,
+            value_bins=self.VB, reward_bins=self.RB,
+        )
+        net = net._replace(params=self._perturb_heads(net.params))
+        key = jax.random.PRNGKey(3)
+        kwargs = dict(num_games=BLOCK_G, num_steps=4)
+        t_xla = play_games(
+            net.params, net.apply_fns, key, jnp.float32(1.0),
+            replace(base, search_backend="xla"), **kwargs,
+        )
+        t_pl = play_games(
+            net.params, net.apply_fns, key, jnp.float32(1.0),
+            replace(base, search_backend="pallas"), **kwargs,
+        )
+        np.testing.assert_array_equal(np.asarray(t_pl.boards), np.asarray(t_xla.boards))
+        np.testing.assert_array_equal(
+            np.asarray(t_pl.actions), np.asarray(t_xla.actions)
+        )
