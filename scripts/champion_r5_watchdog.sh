@@ -3,10 +3,10 @@
 # (resuming on premature exit — round 4's tunnel wedges killed the champion
 # three times), then hand the chip to the next queued experiment
 # (scalar-vs-categorical 60k, VERDICT r4 next #3) with zero idle time.
-# Usage: champion_r5_watchdog.sh <champion_pid>
+# Usage: champion_r5_watchdog.sh <champion_pid> [target_step]
 cd "$(dirname "$0")/.." || exit 1
 PID="$1"
-TARGET=600000
+TARGET="${2:-600000}"
 while true; do
   while kill -0 "$PID" 2>/dev/null; do sleep 60; done
   step=$(ls runs/champion_r5/ckpt 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
