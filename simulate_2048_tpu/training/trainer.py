@@ -173,6 +173,22 @@ class Trainer:
                         buffer_restored = True
                         print(f"resumed replay buffer with {int(buf.size)} episodes")
                 runtime = self._ckpt.restore_runtime(self._runtime_payload())
+                if runtime is None:
+                    # Pre-round-5 checkpoints lack the champion-selection
+                    # keys; a template mismatch restores as None, which
+                    # would silently drop the WHOLE payload (games,
+                    # backfill, cursor). Retry with the legacy template.
+                    legacy_keys = (
+                        "has_best_deep_eval",
+                        "best_deep_eval_mean",
+                        "best_deep_eval_step",
+                    )
+                    legacy = {
+                        k: v
+                        for k, v in self._runtime_payload().items()
+                        if k not in legacy_keys
+                    }
+                    runtime = self._ckpt.restore_runtime(legacy)
                 if runtime is not None:
                     self.gen_state = envlib.GameState(
                         **{k: jnp.asarray(v) for k, v in runtime["gen_state"].items()}
@@ -185,6 +201,16 @@ class Trainer:
                         self._prev_seq = jnp.asarray(runtime["prev_seq"])
                     if buffer_restored and "reanalyze_cursor" in runtime:
                         self._reanalyze_cursor = int(runtime["reanalyze_cursor"])
+                    # Champion-selection state: without this a resume resets
+                    # the deep-eval bar to None and the FIRST post-resume
+                    # deep eval overwrites best/ even when it scores below
+                    # the recorded champion (this burned the round-5 450k
+                    # champion after a mid-run wedge — docs/project.md).
+                    if bool(runtime.get("has_best_deep_eval", False)):
+                        self._best_deep_eval = (
+                            float(runtime["best_deep_eval_mean"]),
+                            int(runtime["best_deep_eval_step"]),
+                        )
 
     def _runtime_payload(self) -> dict:
         """Small trainer-loop state persisted next to each checkpoint: the
@@ -206,6 +232,13 @@ class Trainer:
             ),
             "prev_seq": (self._prev_seq if has_prev else jnp.zeros((b,), jnp.int32)),
             "reanalyze_cursor": jnp.asarray(self._reanalyze_cursor, jnp.int32),
+            "has_best_deep_eval": jnp.asarray(self._best_deep_eval is not None),
+            "best_deep_eval_mean": jnp.asarray(
+                self._best_deep_eval[0] if self._best_deep_eval else 0.0, jnp.float32
+            ),
+            "best_deep_eval_step": jnp.asarray(
+                self._best_deep_eval[1] if self._best_deep_eval else 0, jnp.int32
+            ),
         }
 
     def _ingest(self, traj, gen_stats) -> None:
@@ -332,19 +365,16 @@ class Trainer:
             )
 
     def run_host_hooks(self, step: int, verbose: bool = True) -> None:
-        """Periodic checkpoint / inline eval / deep eval, in trainer order.
+        """Periodic inline eval / deep eval / checkpoint.
 
         Shared with the async learner runtime (``parallel/actor_learner.py``)
         so both loops keep identical champion-selection and persistence
-        behavior (VERDICT r4 weak #2).
+        behavior (VERDICT r4 weak #2). The checkpoint runs LAST: orbax skips
+        same-step re-saves, so a checkpoint written before a same-step deep
+        eval could never carry that eval's champion-selection state in its
+        runtime payload.
         """
         cfg = self.config
-        if self._ckpt is not None and step % cfg.checkpoint_interval == 0:
-            self._ckpt.save(
-                self.state,
-                buffer=self.buffer if cfg.checkpoint_buffer else None,
-                runtime=self._runtime_payload(),
-            )
         if step % cfg.eval_interval == 0:
             stats = self.evaluate()
             self.metrics.log({"step": step, **{f"eval/{k}": v for k, v in stats.items()}})
@@ -355,6 +385,12 @@ class Trainer:
                 )
         if cfg.deep_eval_interval is not None and step % cfg.deep_eval_interval == 0:
             self.deep_evaluate(step, verbose=verbose)
+        if self._ckpt is not None and step % cfg.checkpoint_interval == 0:
+            self._ckpt.save(
+                self.state,
+                buffer=self.buffer if cfg.checkpoint_buffer else None,
+                runtime=self._runtime_payload(),
+            )
 
     def _train_loop(self, start_step, end_step, last_log_time, last_log_step, verbose):
         cfg = self.config

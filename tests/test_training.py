@@ -757,3 +757,82 @@ class TestApplyOverrides:
         ]:
             with pytest.raises(ValueError, match=frag):
                 apply_overrides(tiny_config(), [bad])
+
+    def test_best_deep_eval_survives_resume(self, tmp_path):
+        """Champion-selection state rides in the runtime payload: a resumed
+        trainer must NOT reset the deep-eval bar (the round-5 wedge-resume
+        overwrote a stronger champion with the first post-resume eval —
+        docs/project.md round-5 champion notes)."""
+        import dataclasses
+
+        from simulate_2048_tpu.training.trainer import Trainer
+
+        cfg = dataclasses.replace(
+            tiny_config(),
+            hidden_size=16,
+            num_residual_blocks=1,
+            num_simulations=2,
+            min_buffer_size=2,
+            num_parallel_games=2,
+            batch_size=8,
+            generation_interval=5,
+            log_interval=5,
+            eval_interval=1_000_000,
+            checkpoint_interval=5,
+            deep_eval_interval=5,
+            deep_eval_games=2,
+            eval_max_moves=12,
+        )
+        ckdir = str(tmp_path / "ck")
+        tr = Trainer(cfg, checkpoint_dir=ckdir, seed=0)
+        tr.initialize()
+        tr.fill_buffer(verbose=False)
+        tr.train(num_steps=5, verbose=False)
+        assert tr._best_deep_eval is not None
+        best = tr._best_deep_eval
+
+        tr2 = Trainer(cfg, checkpoint_dir=ckdir, seed=0)
+        tr2.initialize()
+        assert tr2._best_deep_eval is not None
+        assert tr2._best_deep_eval[0] == pytest.approx(best[0])
+        assert tr2._best_deep_eval[1] == best[1]
+
+    def test_legacy_runtime_payload_resumes(self, tmp_path):
+        """Checkpoints written before the champion-selection keys existed
+        must still restore their full runtime payload via the legacy-template
+        fallback (not silently drop games/backfill/cursor)."""
+        import dataclasses
+
+        from simulate_2048_tpu.training.trainer import Trainer
+
+        cfg = dataclasses.replace(
+            tiny_config(),
+            hidden_size=16,
+            num_residual_blocks=1,
+            num_simulations=2,
+            min_buffer_size=2,
+            num_parallel_games=2,
+            batch_size=8,
+            generation_interval=5,
+            log_interval=5,
+            eval_interval=1_000_000,
+            checkpoint_interval=5,
+        )
+        ckdir = str(tmp_path / "ck")
+        tr = Trainer(cfg, checkpoint_dir=ckdir, seed=0)
+        tr.initialize()
+        tr.fill_buffer(verbose=False)
+        # Write a LEGACY-shaped checkpoint (pre-round-5 payload keys).
+        legacy_keys = ("has_best_deep_eval", "best_deep_eval_mean", "best_deep_eval_step")
+        payload = {k: v for k, v in tr._runtime_payload().items() if k not in legacy_keys}
+        tr._ckpt.save(tr.state, runtime=payload)  # save() waits internally
+
+        tr2 = Trainer(cfg, checkpoint_dir=ckdir, seed=0)
+        tr2.initialize()
+        # gen_state restored (not freshly reseeded): boards match exactly.
+        import numpy as np
+
+        np.testing.assert_array_equal(
+            np.asarray(tr2.gen_state.board), np.asarray(tr.gen_state.board)
+        )
+        assert tr2._best_deep_eval is None
