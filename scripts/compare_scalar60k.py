@@ -1,13 +1,15 @@
 """Seed-matched scalar-vs-categorical decision eval (VERDICT r4 next #3).
 
-Evaluates the round-3 champion (categorical 256/128 heads, 60k steps) and
+Evaluates the categorical-heads 60k arm (runs/r5_cat60k — champion_r3's
+recipe rebuilt; the original ckpt predates this session's environment) and
 the scalar-MSE-heads twin (runs/r4_scalar60k, same recipe/seed/horizon,
 bins=1) on the SAME 128 full games: identical eval key -> identical spawn
 streams (games are policy-independent only in their randomness source; both
 agents face the same draw sequence per lane). Greedy calibrated search
 (T=4, pb_c 0.5) as in every deep eval.
 
-Usage (attached TPU): python scripts/compare_scalar60k.py [--games 128]
+Usage (attached TPU):
+    python scripts/compare_scalar60k.py [--games 128] [ckpt_dir ...]
 """
 
 from __future__ import annotations
@@ -58,13 +60,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--games", type=int, default=128)
     ap.add_argument("--key", type=int, default=123)
+    ap.add_argument(
+        "ckpts", nargs="*",
+        default=["runs/r5_cat60k/ckpt", "runs/r4_scalar60k/ckpt"],
+        help="checkpoint dirs to evaluate on the shared game set "
+        "(config from each dir's sidecar; R3_OVERRIDES fallback)",
+    )
     args = ap.parse_args()
     key = jax.random.PRNGKey(args.key)
-    for ckpt, ov in (
-        ("runs/champion_r3/ckpt", R3_OVERRIDES),
-        ("runs/r4_scalar60k/ckpt", None),
-    ):
-        out = eval_ckpt(ckpt, ov, args.games, key)
+    for ckpt in args.ckpts:
+        out = eval_ckpt(ckpt, R3_OVERRIDES, args.games, key)
         print(json.dumps({k: v for k, v in out.items() if not isinstance(v, list)}))
 
 

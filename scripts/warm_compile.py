@@ -51,6 +51,17 @@ ARMS = {
         "deep_eval_interval=30000", "deep_eval_games=128",
         "eval_prior_temperature=4.0", "eval_pb_c_init=0.5",
     ]),
+    # scripts/run_cat60k_twin.sh — champion_r3's recipe rebuilt (its ckpt
+    # predates this round's environment and was cleaned with the ignored
+    # files), so the scalar-vs-categorical decision eval has a live
+    # categorical side on the SAME seed/game set.
+    "cat60k": (small_config, [
+        "value_target_mode=td_lambda", "td_lambda=1.0", "cross_segment_backfill=True",
+        "afterstate_value_loss_weight=0.25", "value_bins=256", "reward_bins=128",
+        "lr_decay_steps=60000", "eval_interval=5000", "checkpoint_interval=10000",
+        "deep_eval_interval=30000", "deep_eval_games=128",
+        "eval_prior_temperature=4.0", "eval_pb_c_init=0.5",
+    ]),
     # scripts/run_gumbel_resumed_ab.sh (eval/deep-eval intervals differ from
     # the champion but those are host-side; the traced programs match)
     "gumbel": (small_config, CHAMPION + ["root_selection=gumbel"]),
