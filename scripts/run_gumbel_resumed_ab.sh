@@ -12,8 +12,12 @@
 # Deep evals are seed-matched (round-5 trainer), so endpoint deltas compare
 # policies, not game draws. Evaluation searches always run PUCT
 # (search_config_from forces it in eval mode), so curves stay comparable.
+# Reanalyze is OFF in all three arms (uniformly, so it is not a confound):
+# the gumbel claim is about COLLECTION root selection, and the gumbel-root
+# reanalyze-search program has never been compiled into the cache — a
+# 25-minute cold compile per arm for a knob orthogonal to the question.
 cd "$(dirname "$0")/.." || exit 1
-SRC="${1:-runs/champion_r5/ckpt}"
+SRC="${1:-runs/r5_cat60k/ckpt}"
 STEPS="${2:-6000}"
 for arm in puct gumbel gumbel03; do
   dir="runs/r5_gres_${arm}"
@@ -33,11 +37,9 @@ for arm in puct gumbel gumbel03; do
     --set cross_segment_backfill=True \
     --set afterstate_value_loss_weight=0.25 \
     --set value_bins=256 --set reward_bins=128 \
-    --set lr_decay_steps=300000 \
+    --set lr_decay_steps=60000 \
     --set eval_interval=2000 --set checkpoint_interval=10000 \
     --set deep_eval_interval="$STEPS" --set deep_eval_games=128 \
     --set eval_prior_temperature=4.0 --set eval_pb_c_init=0.5 \
-    --set reanalyze_interval=500 --set reanalyze_episodes=64 \
-    --set reanalyze_mode=search \
     "${extra[@]}" || exit 1
 done
