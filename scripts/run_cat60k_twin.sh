@@ -11,7 +11,7 @@
 # the SAME 128-game set.
 cd "$(dirname "$0")/.." || exit 1
 mkdir -p runs/r5_cat60k
-exec python -m simulate_2048_tpu.train --mode small --steps 60000 \
+exec python -m simulate_2048_tpu.train --mode small --steps "${1:-60000}" \
   --checkpoint-dir runs/r5_cat60k/ckpt --log-dir runs/r5_cat60k \
   --set value_target_mode=td_lambda --set td_lambda=1.0 \
   --set cross_segment_backfill=True \

@@ -5,7 +5,7 @@
 # decide whether the categorical heads are load-bearing.
 cd "$(dirname "$0")/.." || exit 1
 mkdir -p runs/r4_scalar60k
-exec python -m simulate_2048_tpu.train --mode small --steps 60000 \
+exec python -m simulate_2048_tpu.train --mode small --steps "${1:-60000}" \
   --checkpoint-dir runs/r4_scalar60k/ckpt --log-dir runs/r4_scalar60k \
   --set value_target_mode=td_lambda --set td_lambda=1.0 \
   --set cross_segment_backfill=True \

@@ -12,7 +12,7 @@
 # 128-game set as both twins) read directly against runs/r5_cat60k's.
 cd "$(dirname "$0")/.." || exit 1
 mkdir -p runs/r5_temp_early
-exec python -m simulate_2048_tpu.train --mode small --steps 60000 \
+exec python -m simulate_2048_tpu.train --mode small --steps "${1:-60000}" \
   --checkpoint-dir runs/r5_temp_early/ckpt --log-dir runs/r5_temp_early \
   --set value_target_mode=td_lambda --set td_lambda=1.0 \
   --set cross_segment_backfill=True \
